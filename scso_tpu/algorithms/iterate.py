@@ -1,0 +1,538 @@
+"""Solve driver: the jitted epoch loop, histories and the Solution record.
+
+TPU-native re-design of the reference driver (`iterate!`/`optim_loop!`,
+/root/reference/src/algorithms/iterate.jl:56-267):
+
+  * the epoch loop is a single `lax.while_loop` on device ("fused" mode)
+    carrying (x, x_prev, gradient caches, L-BFGS memory, history buffers)
+    — no host round-trips between iterations;
+  * histories are preallocated (max_epoch+1)-sized device buffers with a
+    record counter (the reference pushes into growing Julia vectors);
+  * stopping reproduces the reference's triple test at both loop levels
+    (iterate.jl:234,257): ‖x⁺−x‖ < x_tol·max(‖x‖,1), relative objective
+    gap ≤ f_tol, or primal residual < x_tol;
+  * an instrumented "timed" python-loop mode shares the same jitted step
+    and records true per-epoch wall-clock times (the reference's
+    `Dates.now()` deltas, iterate.jl:184-186) plus arbitrary host metrics.
+
+Histories/semantics parity notes:
+  * records are taken at x_0 … x_{k-1} plus a final record at the
+    terminating iterate, matching the reference's converged-exit sequence
+    (iterate.jl:189-202, 236-250). On max-epoch exit the reference
+    duplicates the last pre-step record and never records the final x
+    (iterate.jl:222-232); we record the final x instead — strictly more
+    informative.
+  * `obj_star` is measured against the user-supplied `sol` (default
+    zeros) exactly like iterate.jl:179 — a deliberate reproduction of the
+    reference's ground-truth convention.
+  * `times`: fused mode reports total wall-clock in the last entry
+    (README.md:92 documents exactly that convention); timed mode fills
+    every entry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from scso_tpu.algorithms.methods import ProxGGNSCORE, ProxLQNSCORE, ProxNSCORE
+from scso_tpu.algorithms.steps import StepOut, ggn_step, lbfgs_step, newton_step, _cw, _lam_scalar
+from scso_tpu.ops.lbfgs_core import LBFGSMemory, init_memory
+from scso_tpu.problems import Problem
+from scso_tpu._src.struct import replace as dc_replace
+
+
+@dataclasses.dataclass(frozen=True)
+class Options:
+    """Static per-solve configuration — parity: Options (iterate.jl:37-50).
+
+    `comm_rounds` is stored-but-unused in the reference (iterate.jl:45 —
+    never read); we keep the field for API parity and likewise ignore it.
+    """
+
+    max_epoch: int = 1000
+    x_tol: float = 1e-10
+    f_tol: float = 1e-10
+    batch_size: Optional[int] = None
+    slice_samples: bool = False
+    shuffle_batch: bool = True
+    local_max_iter: Optional[int] = None
+    comm_rounds: int = 100
+    verbose: int = 1
+    mode: str = "fused"  # 'fused' (on-device while_loop) | 'timed' (python loop)
+
+
+class History(NamedTuple):
+    fval: jax.Array
+    obj: jax.Array
+    rel: jax.Array
+    objrel: jax.Array
+    prires: jax.Array
+    fvaltest: jax.Array          # zeros-filled when no test data
+    metrics: jax.Array           # (n_metrics, cap); (0, cap) when none
+    n_rec: jax.Array
+
+
+class Carry(NamedTuple):
+    x: jax.Array
+    x_prev: jax.Array
+    gq: jax.Array
+    gq_prev: jax.Array
+    k: jax.Array
+    pri_res: jax.Array
+    done: jax.Array
+    mem: LBFGSMemory
+    hist: History
+    key: jax.Array
+
+
+@dataclasses.dataclass
+class Solution:
+    """Result record — field names mirror the reference Solution struct
+    (iterate.jl:3-32)."""
+
+    x: Any
+    obj: Any
+    fval: Any
+    pri_res_norm: Any
+    fvaltest: Any
+    rel: Any
+    objrel: Any
+    metricvals: dict
+    times: Any
+    epochs: int
+    model: Problem
+    cg_info: Optional[dict] = None
+
+
+# ---------------------------------------------------------------------------
+# Stats (one record)
+# ---------------------------------------------------------------------------
+
+
+def _stats(prob: Problem, reg_name: str, x, obj_star, x_tol, f_tol,
+           metric_fns):
+    """One epoch's bookkeeping — parity: iterate.jl:189-202."""
+    fval = prob.f_val(prob.A, prob.y, x)
+    obj = fval + prob.reg(reg_name, x)
+    x_star = prob.x_star
+    if reg_name == "gl":
+        rel = jnp.mean((x_star - x) ** 2)  # MSE (iterate.jl:194)
+    else:
+        rel = jnp.maximum(
+            jnp.linalg.norm(x - x_star)
+            / jnp.maximum(jnp.linalg.norm(x_star), 1.0),
+            x_tol,
+        )
+    raw_frel = jnp.abs(obj - obj_star) / jnp.abs(obj_star)
+    objrel = jnp.maximum(raw_frel, f_tol)
+    if prob.Atest is not None and prob.ytest is not None:
+        fvaltest = prob.f_val(prob.Atest, prob.ytest, x)
+    else:
+        fvaltest = jnp.zeros_like(fval)
+    mvals = jnp.stack([fn(prob, x) for fn in metric_fns]) if metric_fns \
+        else jnp.zeros((0,), x.dtype)
+    return fval, obj, rel, objrel, raw_frel, fvaltest, mvals
+
+
+def _record(hist: History, fval, obj, rel, objrel, prires, fvaltest, mvals):
+    i = hist.n_rec
+    return History(
+        fval=hist.fval.at[i].set(fval),
+        obj=hist.obj.at[i].set(obj),
+        rel=hist.rel.at[i].set(rel),
+        objrel=hist.objrel.at[i].set(objrel),
+        prires=hist.prires.at[i].set(prires),
+        fvaltest=hist.fvaltest.at[i].set(fvaltest),
+        metrics=hist.metrics.at[:, i].set(mvals),
+        n_rec=i + 1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused on-device solve
+# ---------------------------------------------------------------------------
+
+
+def _effective_L(prob: Problem, alpha):
+    """α kwarg overrides L as L = 1/α — parity: iterate.jl:113-115."""
+    if alpha is not None:
+        return dc_replace(prob, L=jnp.asarray(1.0 / alpha, prob.x0.dtype))
+    return prob
+
+
+def _init_hist(cap: int, n_metrics: int, dtype) -> History:
+    z = jnp.zeros((cap,), dtype)
+    return History(
+        fval=z, obj=z, rel=z, objrel=z,
+        prires=jnp.full((cap,), jnp.nan, dtype),
+        fvaltest=z,
+        metrics=jnp.zeros((n_metrics, cap), dtype),
+        n_rec=jnp.int32(0),
+    )
+
+
+def _make_batches(prob: Problem, opts: Options, n_dim: int):
+    """Static batching setup — parity: iterate.jl:124-146.
+
+    Returns (n_batches, batch_size) or None for full-batch. slice_samples
+    forces batch_size=1 (iterate.jl:139-141); local_max_iter truncates the
+    per-epoch batch list (iterate.jl:145); batch priority over
+    slice_samples mirrors iterate.jl:128-131.
+    """
+    if not prob.has_data:
+        return None
+    m = prob.A.shape[0]
+    bs = opts.batch_size
+    if bs is not None and opts.slice_samples:
+        bs = bs  # prioritize mini-batching (iterate.jl:128-131)
+    elif opts.slice_samples:
+        bs = 1
+    if bs is None or bs >= m:
+        return None
+    if m % bs != 0:
+        raise ValueError(
+            f"batch_size={bs} must divide m={m} (static-shape batching); "
+            "pad the data or choose a divisor"
+        )
+    nb = m // bs
+    if opts.local_max_iter is not None and int(opts.local_max_iter) > 0:
+        nb = min(int(opts.local_max_iter), nb)
+    return nb, bs
+
+
+def solve(method, prob: Problem, reg_name: str, sm, opts: Options,
+          metric_fns: tuple = (), metric_names: tuple = (),
+          alpha=None, rng_seed: int = 0):
+    """Run one solve; returns a :class:`Solution`.
+
+    `method`, `reg_name`, `opts` and the metric fns are static; `prob` and
+    `sm` are pytrees — so sweeps can vmap over their leaves (λ, μ, data).
+    """
+    prob = _effective_L(prob, alpha)
+    if opts.mode == "timed":
+        return _solve_python(method, prob, reg_name, sm, opts,
+                             metric_fns, metric_names)
+    t0 = time.perf_counter()
+    carry = _solve_fused(method, prob, reg_name, sm, opts, metric_fns,
+                         rng_seed)
+    carry = jax.block_until_ready(carry)
+    total = time.perf_counter() - t0
+    return _to_solution(carry, prob, metric_names, total)
+
+
+def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
+                      opts: Options, metric_fns, rng_seed) -> Carry:
+    dt = prob.x0.dtype
+    n = prob.x0.shape[-1]
+    x_tol = jnp.asarray(opts.x_tol, dt)
+    f_tol = jnp.asarray(opts.f_tol, dt)
+    cap = opts.max_epoch + 1
+    max_epoch = 1 if opts.local_max_iter is not None else opts.max_epoch
+
+    mem_m = method.m if isinstance(method, ProxLQNSCORE) else 1
+    mem0 = init_memory(n, mem_m, dt)
+    hist0 = _init_hist(cap, len(metric_fns), dt)
+
+    obj_star = prob.f_val(prob.A, prob.y, prob.x_star) + prob.reg(
+        reg_name, prob.x_star
+    )  # parity: iterate.jl:179
+
+    batching = _make_batches(prob, opts, n)
+    is_lbfgs = isinstance(method, ProxLQNSCORE)
+    cache_grads = is_lbfgs and batching is None
+
+    lam = _lam_scalar(prob.lam)
+    cw = _cw(prob, reg_name)
+
+    def composite_grad(As, ys, x):
+        return prob.grad_f(As, ys, x) + lam * sm.grad(x, cw)
+
+    def do_step(As, ys, x, x_prev, gq, gq_prev, it, mem) -> StepOut:
+        if isinstance(method, ProxNSCORE):
+            return newton_step(method, prob, reg_name, sm, As, ys, x,
+                               x_prev, gq_prev, it, mem)
+        if isinstance(method, ProxGGNSCORE):
+            return ggn_step(method, prob, reg_name, sm, As, ys, x,
+                            x_prev, gq_prev, it, mem)
+        return lbfgs_step(method, prob, reg_name, sm, As, ys, x, x_prev,
+                          gq_prev, it, mem,
+                          gq_cached=gq if cache_grads else None)
+
+    gq0 = (composite_grad(prob.A, prob.y, prob.x0)
+           if cache_grads else jnp.zeros_like(prob.x0))
+
+    carry0 = Carry(
+        x=prob.x0, x_prev=prob.x0, gq=gq0, gq_prev=jnp.zeros_like(prob.x0),
+        k=jnp.int32(0), pri_res=jnp.asarray(jnp.nan, dt),
+        done=jnp.asarray(False), mem=mem0, hist=hist0,
+        key=jax.random.PRNGKey(rng_seed),
+    )
+
+    def epoch_body(carry: Carry) -> Carry:
+        fval, obj, rel, objrel, raw_frel, ftst, mvals = _stats(
+            prob, reg_name, carry.x, obj_star, x_tol, f_tol, metric_fns
+        )
+        hist = _record(carry.hist, fval, obj, rel, objrel, carry.pri_res,
+                       ftst, mvals)
+        it = carry.k + 1  # 1-based like the reference epoch_t
+
+        if batching is None:
+            out = do_step(prob.A, prob.y, carry.x, carry.x_prev,
+                          carry.gq, carry.gq_prev, it, carry.mem)
+            x, x_prev = out.x_new, carry.x
+            gq, gq_prev = out.gq_new, out.gq
+            pri, mem = out.pri_res_norm, out.mem
+            key = carry.key
+        else:
+            nb, bs = batching
+            m = prob.A.shape[0]
+            key, sub = jax.random.split(carry.key)
+            if opts.shuffle_batch:
+                perm = jax.random.permutation(sub, m)
+            else:
+                perm = jnp.arange(m)
+            Ab = prob.A[perm][: nb * bs].reshape(nb, bs, -1)
+            yb = prob.y[perm][: nb * bs].reshape(nb, bs, *prob.y.shape[1:])
+
+            def scan_body(sc, batch):
+                x, x_prev, gq, gq_prev, pri, done, mem = sc
+                As, ys = batch
+
+                def live(_):
+                    out = do_step(As, ys, x, x_prev, gq, gq_prev, it, mem)
+                    conv = (
+                        (jnp.linalg.norm(out.x_new - x)
+                         < x_tol * jnp.maximum(jnp.linalg.norm(x), 1.0))
+                        | (raw_frel <= f_tol)
+                        | (out.pri_res_norm < x_tol)
+                    )
+                    return (out.x_new, x, out.gq_new, out.gq,
+                            out.pri_res_norm, conv, out.mem)
+
+                def frozen(_):
+                    return sc
+
+                return lax.cond(done, frozen, live, None), None
+
+            (x, x_prev, gq, gq_prev, pri, done_in, mem), _ = lax.scan(
+                scan_body,
+                (carry.x, carry.x_prev, carry.gq, carry.gq_prev,
+                 carry.pri_res, carry.done, carry.mem),
+                (Ab, yb),
+            )
+
+        # stopping: parity with the inner+outer triple test
+        # (iterate.jl:234, 257)
+        conv = (
+            (jnp.linalg.norm(x - x_prev)
+             < x_tol * jnp.maximum(jnp.linalg.norm(x_prev), 1.0))
+            | (raw_frel <= f_tol)
+            | (pri < x_tol)
+        )
+        if opts.verbose > 1:
+            jax.debug.print(
+                "epoch {k}  obj {o:.8e}  fval {f:.8e}  rel {r:.3e}",
+                k=carry.k, o=obj, f=fval, r=rel,
+            )
+        return Carry(x=x, x_prev=x_prev, gq=gq, gq_prev=gq_prev,
+                     k=carry.k + 1, pri_res=pri, done=conv, mem=mem,
+                     hist=hist, key=key)
+
+    def cond(carry: Carry):
+        return (~carry.done) & (carry.k < max_epoch)
+
+    carry = lax.while_loop(cond, epoch_body, carry0)
+
+    # final record at the terminating iterate
+    fval, obj, rel, objrel, _, ftst, mvals = _stats(
+        prob, reg_name, carry.x, obj_star, x_tol, f_tol, metric_fns
+    )
+    hist = _record(carry.hist, fval, obj, rel, objrel, carry.pri_res,
+                   ftst, mvals)
+    return carry._replace(hist=hist)
+
+
+_solve_fused = jax.jit(
+    _solve_fused_impl,
+    static_argnames=("method", "reg_name", "opts", "metric_fns", "rng_seed"),
+)
+
+
+def _to_solution(carry: Carry, prob: Problem, metric_names, total_time,
+                 times=None) -> Solution:
+    n_rec = int(carry.hist.n_rec)
+    sl = lambda a: np.asarray(a)[:n_rec]
+    metricvals = {
+        name: np.asarray(carry.hist.metrics[i])[:n_rec]
+        for i, name in enumerate(metric_names)
+    }
+    if times is None:
+        times = np.zeros((n_rec,))
+        if n_rec:
+            times[-1] = total_time
+    has_test = prob.Atest is not None and prob.ytest is not None
+    return Solution(
+        x=np.asarray(carry.x),
+        obj=sl(carry.hist.obj),
+        fval=sl(carry.hist.fval),
+        pri_res_norm=sl(carry.hist.prires),
+        fvaltest=sl(carry.hist.fvaltest) if has_test else np.zeros((0,)),
+        rel=sl(carry.hist.rel),
+        objrel=sl(carry.hist.objrel),
+        metricvals=metricvals,
+        times=np.asarray(times),
+        epochs=int(carry.k),
+        model=prob,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Instrumented python-loop mode (true per-epoch timing, host metrics)
+# ---------------------------------------------------------------------------
+
+
+def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
+                  metric_names):
+    """Python epoch loop around the jitted step — the observability path.
+
+    Mirrors the reference's host-side loop shape (per-epoch `Dates.now()`
+    deltas, verbose printing, host metric callbacks). Full-batch only.
+    """
+    dt = prob.x0.dtype
+    n = prob.x0.shape[-1]
+    mem_m = method.m if isinstance(method, ProxLQNSCORE) else 1
+    mem = init_memory(n, mem_m, dt)
+    is_lbfgs = isinstance(method, ProxLQNSCORE)
+
+    obj_star = prob.f_val(prob.A, prob.y, prob.x_star) + prob.reg(
+        reg_name, prob.x_star
+    )
+
+    @jax.jit
+    def stats_fn(x):
+        return _stats(prob, reg_name, x, obj_star, opts.x_tol, opts.f_tol, ())
+
+    lam = _lam_scalar(prob.lam)
+    cw = _cw(prob, reg_name)
+
+    @jax.jit
+    def step_fn(x, x_prev, gq, gq_prev, it, mem):
+        if isinstance(method, ProxNSCORE):
+            return newton_step(method, prob, reg_name, sm, prob.A, prob.y,
+                               x, x_prev, gq_prev, it, mem)
+        if isinstance(method, ProxGGNSCORE):
+            return ggn_step(method, prob, reg_name, sm, prob.A, prob.y,
+                            x, x_prev, gq_prev, it, mem)
+        return lbfgs_step(method, prob, reg_name, sm, prob.A, prob.y,
+                          x, x_prev, gq_prev, it, mem,
+                          gq_cached=gq if is_lbfgs else None)
+
+    @jax.jit
+    def grad_fn(x):
+        return prob.grad_f(prob.A, prob.y, x) + lam * sm.grad(x, cw)
+
+    x = prob.x0
+    x_prev = prob.x0
+    gq = grad_fn(x) if is_lbfgs else jnp.zeros_like(x)
+    gq_prev = jnp.zeros_like(x)
+    pri = float("nan")
+    recs = {k: [] for k in
+            ("fval", "obj", "rel", "objrel", "prires", "fvaltest")}
+    mrecs = {name: [] for name in metric_names}
+    times = []
+    t0 = time.perf_counter()
+    epochs = 0
+    name, label = method.display()
+
+    def record(xc, pri_c):
+        fval, obj, rel, objrel, raw_frel, ftst, _ = [
+            np.asarray(v) for v in stats_fn(xc)
+        ]
+        recs["fval"].append(float(fval))
+        recs["obj"].append(float(obj))
+        recs["rel"].append(float(rel))
+        recs["objrel"].append(float(objrel))
+        recs["prires"].append(pri_c)
+        recs["fvaltest"].append(float(ftst))
+        for nm, fn in zip(metric_names, metric_fns):
+            mrecs[nm].append(fn(prob, xc))
+        times.append(time.perf_counter() - t0)
+        if opts.verbose > 1:
+            print(f"[{label}] epoch {epochs}  obj {float(obj):.8e}  "
+                  f"fval {float(fval):.8e}  rel {float(rel):.3e}  "
+                  f"Δt {times[-1]:.3f}s")
+        return float(raw_frel)
+
+    for epoch_t in range(1, opts.max_epoch + 1):
+        raw_frel = record(x, pri)
+        out = step_fn(x, x_prev, gq, gq_prev, jnp.int32(epoch_t), mem)
+        out = jax.block_until_ready(out)
+        x_new = out.x_new
+        pri = float(out.pri_res_norm)
+        conv = (
+            float(jnp.linalg.norm(x_new - x))
+            < opts.x_tol * max(float(jnp.linalg.norm(x)), 1.0)
+            or raw_frel <= opts.f_tol
+            or pri < opts.x_tol
+        )
+        x, x_prev = x_new, x
+        gq, gq_prev = out.gq_new, out.gq
+        mem = out.mem
+        epochs += 1
+        if conv:
+            break
+
+    record(x, pri)
+    arr = lambda k: np.asarray(recs[k])
+    has_test = prob.Atest is not None and prob.ytest is not None
+    return Solution(
+        x=np.asarray(x),
+        obj=arr("obj"), fval=arr("fval"), pri_res_norm=arr("prires"),
+        fvaltest=arr("fvaltest") if has_test else np.zeros((0,)),
+        rel=arr("rel"), objrel=arr("objrel"),
+        metricvals={k: np.asarray(v) for k, v in mrecs.items()},
+        times=np.asarray(times), epochs=epochs, model=prob,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public API — parity with `iterate!` (iterate.jl:56-76)
+# ---------------------------------------------------------------------------
+
+
+def iterate(method, model: Problem, reg_name: str, h_mu, *,
+            metrics: Optional[dict] = None, alpha=None, batch_size=None,
+            slice_samples=False, shuffle_batch=True, max_epoch=1000,
+            comm_rounds=100, local_max_iter=None, x_tol=1e-10, f_tol=1e-10,
+            verbose=1, mode="fused", rng_seed=0) -> Solution:
+    """Run a SCORE solve — the reference's `iterate!` entry point.
+
+    Args mirror iterate.jl:56 (α spelled `alpha`); `mode` selects the
+    fused on-device loop or the instrumented python loop. `metrics` maps
+    name -> fn(problem, x): jax-traceable in fused mode (recorded on
+    device), arbitrary python in timed mode.
+    """
+    opts = Options(
+        max_epoch=(1 if local_max_iter is not None else max_epoch),
+        x_tol=x_tol, f_tol=f_tol, batch_size=batch_size,
+        slice_samples=slice_samples, shuffle_batch=shuffle_batch,
+        local_max_iter=local_max_iter, comm_rounds=comm_rounds,
+        verbose=verbose, mode=mode,
+    )
+    if metrics:
+        names = tuple(sorted(metrics.keys()))
+        fns = tuple(metrics[k] for k in names)
+    else:
+        names, fns = (), ()
+    if verbose > 0 and method.ss_type == 1 and model.L is None and alpha is None:
+        print("Neither L nor alpha is set for the problem... "
+              "Now fixing alpha = 0.5...")
+    return solve(method, model, reg_name, h_mu, opts, metric_fns=fns,
+                 metric_names=names, alpha=alpha, rng_seed=rng_seed)

@@ -1,0 +1,86 @@
+"""Method configuration objects (static, hashable).
+
+Replace the reference's mutable `@kwdef` method structs
+(prox-N-SCORE.jl:6-22, prox-GGN-SCORE.jl:6-22, prox-L-BFGS-SCORE.jl:6-30)
+with frozen dataclasses used as jit-static arguments — the method kind,
+step-size scheme and solver choice specialize the compiled program, like
+Julia method specialization did.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ProxNSCORE:
+    """Proximal Newton with self-concordant regularization.
+
+    ``solver``: 'dense' reproduces the reference's direct solve
+    (H + λ·diag(Hr)) \\ ∇q (prox-N-SCORE.jl:70); 'cg' runs matrix-free
+    Newton-CG on HVPs (the scalable TPU path).
+    """
+
+    ss_type: int = 1
+    use_prox: bool = True
+    solver: str = "dense"
+    cg_tol: float = 1e-8
+    cg_maxiter: int = 250
+    name: str = "prox-newtonscore"
+    label: str = "Prox-N-SCORE"
+
+    def display(self):
+        # parity: set_name! renames when use_prox=false (prox-N-SCORE.jl:24-33)
+        if not self.use_prox:
+            return "newtonscore", "Newton-SCORE"
+        return self.name, self.label
+
+
+@dataclasses.dataclass(frozen=True)
+class ProxGGNSCORE:
+    """Proximal generalized Gauss-Newton with self-concordant regularization.
+
+    ``solver``:
+      * 'auto'  — reproduce the reference's compile-time branch: dual form
+        when (m·ny + 1) <= n else primal normal equations
+        (prox-GGN-SCORE.jl:124-131); shapes are static under jit so this
+        is decided at trace time.
+      * 'dense_dual' / 'dense_primal' — force one dense branch.
+      * 'cg'    — matrix-free CG on v ↦ Jᵀ(Q(Jv)) + λ·Hr∘v via jvp/vjp
+        (the scalable multi-host path; BASELINE.json "GGN-CG").
+    """
+
+    ss_type: int = 1
+    use_prox: bool = True
+    solver: str = "auto"
+    cg_tol: float = 1e-8
+    cg_maxiter: int = 250
+    name: str = "prox-ggnscore"
+    label: str = "Prox-GGN-SCORE"
+
+    def display(self):
+        if not self.use_prox:
+            return "ggnscore", "GGN-SCORE"
+        return self.name, self.label
+
+
+@dataclasses.dataclass(frozen=True)
+class ProxLQNSCORE:
+    """Proximal L-BFGS with self-concordant regularization.
+
+    ``m`` is the L-BFGS memory (prox-L-BFGS-SCORE.jl:24, default 10).
+    """
+
+    ss_type: int = 1
+    use_prox: bool = True
+    m: int = 10
+    name: str = "prox-lbfgsscore"
+    label: str = "Prox-LBFGS-SCORE"
+
+    def display(self):
+        if not self.use_prox:
+            return "lbfgsscore", "LBFGS-SCORE"
+        return self.name, self.label
+
+
+Method = (ProxNSCORE, ProxGGNSCORE, ProxLQNSCORE)

@@ -1,0 +1,332 @@
+"""The three SCORE step rules as pure functions.
+
+Each step maps (x, x_prev, cached gradients, L-BFGS memory) to
+(x_new, pri_res_norm, updated caches) for one method:
+
+  * newton_step — parity: step!(::ProxNSCORE, ...)  prox-N-SCORE.jl:34-119
+  * ggn_step    — parity: step!(::ProxGGNSCORE, ...) prox-GGN-SCORE.jl:34-135
+  * lbfgs_step  — parity: step!(::ProxLQNSCORE, ...) prox-L-BFGS-SCORE.jl:69-169
+
+Shared scaffolding (smoother gradient/Hessian-diagonal, the three
+step-size schemes, the self-concordance damping α = ss/(1 + M_g·η) and the
+scaled proximal update) is factored here once; the reference repeats it in
+each method file.
+
+Deliberate fix vs the reference: the Barzilai–Borwein (ss_type=2) branch
+in the reference Newton/GGN steps references an undefined `∇f` and calls
+`hμ.grad` with the wrong arity (prox-N-SCORE.jl:81-83,
+prox-GGN-SCORE.jl:78-80 — latent MethodErrors). We implement the working
+formula from the L-BFGS step (prox-L-BFGS-SCORE.jl:113-118) for all three
+methods, per SURVEY.md §7 step 5.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from scso_tpu.algorithms.methods import ProxGGNSCORE, ProxLQNSCORE, ProxNSCORE
+from scso_tpu.ops.lbfgs_core import LBFGSMemory, two_loop, update_memory
+from scso_tpu.ops.linalg import armijo_linesearch, cg_solve, inv_bb_step
+from scso_tpu.ops.prox import prox_step
+from scso_tpu.ops.smoothers import get_Mg
+from scso_tpu.problems import Problem
+
+
+class StepOut(NamedTuple):
+    x_new: jax.Array
+    pri_res_norm: jax.Array
+    dx: jax.Array
+    gq: jax.Array       # ∇q at x (composite gradient), for BB caching
+    gq_new: jax.Array   # ∇q at x_new (L-BFGS only; zeros otherwise)
+    mem: LBFGSMemory
+
+
+def _lam_scalar(lam):
+    """λ[1] when multi-valued else λ — parity: prox-N-SCORE.jl:35-39."""
+    lam = jnp.asarray(lam)
+    if lam.ndim >= 1 and lam.shape[0] > 1:
+        return lam.reshape(-1)[0]
+    return lam.reshape(())
+
+
+def _cw(prob: Problem, reg_name: str):
+    """Diagonal of the reference's Cmat: group element-weights for 'gl',
+    identity (None) otherwise — parity: iterate.jl:192-196."""
+    if reg_name == "gl":
+        if prob.groups is None:
+            raise ValueError("'gl' regularizer requires group structure")
+        return prob.groups.element_weights
+    return None
+
+
+def _resolve_step_size(method, prob: Problem, sm, reg_name, As, ys,
+                       x, x_prev, gq, gq_prev, d, it, cw):
+    """The three step-size schemes with reference branch-order parity.
+
+    Newton/GGN (prox-N-SCORE.jl:73-90):
+      ss1 & L set   → min(1/L, 1)
+      ss1 & L unset → 0.5
+      ss2           → 1 at iter 1 else inverse-BB
+      ss3           → Armijo backtracking
+    L-BFGS (prox-L-BFGS-SCORE.jl:108-125) — note the different order:
+      ss1 & L set       → min(1/L, 1)
+      ss2 OR L unset    → BB            (so ss1/ss3 without L go BB too)
+      ss3               → Armijo
+    """
+    dt = x.dtype
+    is_lbfgs = isinstance(method, ProxLQNSCORE)
+    sst = method.ss_type
+    if sst not in (1, 2, 3):
+        raise ValueError("Please, choose ss_type in [1, 2, 3].")
+    L = prob.L
+    lam = _lam_scalar(prob.lam)
+
+    def bb():
+        ss = inv_bb_step(x, x_prev, gq, gq_prev)
+        return jnp.where(it == 1, jnp.asarray(1.0, dt), ss.astype(dt))
+
+    def linesearch():
+        obj = lambda v: prob.f_val(As, ys, v) + prob.reg(reg_name, v)
+        grad_q = lambda v: prob.grad_f(As, ys, v) + lam * sm.grad(v, cw)
+        return armijo_linesearch(x, d, obj, grad_q)
+
+    if sst == 1 and L is not None:
+        return jnp.minimum(1.0 / L, 1.0).astype(dt)
+    if is_lbfgs:
+        if sst == 2 or L is None:
+            return bb()
+        return linesearch()  # sst == 3
+    if sst == 1:
+        return jnp.asarray(0.5, dt)
+    if sst == 2:
+        return bb()
+    return linesearch()  # sst == 3
+
+
+def _damped_prox_update(method, prob: Problem, reg_name, sm, x, d,
+                        step_size, lam, lgr, Hr_diag):
+    """SCORE damping + scaled prox — the tail shared by all three steps.
+
+    α = ss / (1 + M_g·η), η = sqrt(λgr' · diag(1/Hr) · λgr), safe_α = min(1, α)
+    then x⁺ = prox_{g}^{diag(1/Hr)}(x + safe_α·d) with threshold scale = ss.
+    Parity: prox-N-SCORE.jl:92-118.
+    """
+    hdiag_inv = 1.0 / Hr_diag
+    Mg = get_Mg(sm.Mh, sm.nu, sm.mu, x.shape[-1])
+    eta = jnp.sqrt(jnp.sum(lgr * hdiag_inv * lgr))
+    alpha = step_size / (1.0 + Mg * eta)
+    safe_alpha = jnp.minimum(1.0, alpha)
+    dx = safe_alpha * d
+    if method.use_prox:
+        lam_prox = prob.lam if reg_name == "gl" else lam
+        x_new = prox_step(
+            reg_name, x + dx, hdiag_inv, lam_prox, step_size,
+            lb=prob.lb, ub=prob.ub, groups=prob.groups,
+        )
+        pri = jnp.linalg.norm(x_new - x)
+    else:
+        x_new = x + dx
+        pri = jnp.linalg.norm(dx)
+    return x_new, pri, dx
+
+
+# ---------------------------------------------------------------------------
+# Prox-Newton SCORE
+# ---------------------------------------------------------------------------
+
+
+def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
+                As, ys, x, x_prev, gq_prev, it, mem: LBFGSMemory) -> StepOut:
+    """Full (quasi-)Newton step with self-concordant damping.
+
+    Direction: d = −(∇²f + λ·diag(Hr))⁻¹ (∇f + λ·gr)
+    — dense solve (prox-N-SCORE.jl:69-71) or matrix-free Newton-CG.
+    """
+    lam = _lam_scalar(prob.lam)
+    cw = _cw(prob, reg_name)
+    gr = sm.grad(x, cw)
+    lgr = lam * gr
+    Hr_diag = sm.hess_diag(x, cw)
+
+    gq = prob.grad_f(As, ys, x) + lgr
+
+    if method.solver == "dense":
+        H = prob.hess_f(As, ys, x)
+        d = -jnp.linalg.solve(H + lam * jnp.diag(Hr_diag), gq)
+    elif method.solver == "cg":
+        lhr = lam * Hr_diag
+        mv = lambda v: prob.hvp_f(As, ys, x, v) + lhr * v
+        M_inv = lambda v: v / jnp.maximum(lhr, jnp.finfo(x.dtype).tiny)
+        d = -cg_solve(mv, gq, tol=method.cg_tol, maxiter=method.cg_maxiter,
+                      M_inv=M_inv).x
+    else:
+        raise ValueError(f"unknown ProxNSCORE solver {method.solver!r}")
+
+    # ∇q at x_prev for BB (recomputed; the reference's Newton BB branch is
+    # broken — see module docstring)
+    if method.ss_type == 2:
+        gqp = prob.grad_f(As, ys, x_prev) + lam * sm.grad(x_prev, cw)
+    else:
+        gqp = gq_prev
+    ss = _resolve_step_size(method, prob, sm, reg_name, As, ys,
+                            x, x_prev, gq, gqp, d, it, cw)
+    x_new, pri, dx = _damped_prox_update(
+        method, prob, reg_name, sm, x, d, ss, lam, lgr, Hr_diag
+    )
+    return StepOut(x_new, pri, dx, gq, jnp.zeros_like(x), mem)
+
+
+# ---------------------------------------------------------------------------
+# Prox-GGN SCORE
+# ---------------------------------------------------------------------------
+
+
+def _ggn_dense_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam):
+    """Dense GGN direction with the reference's dual/primal shape switch.
+
+    Parity: ggn_score_step (prox-GGN-SCORE.jl:114-135). With the augmented
+    Jt = [Jᵀ  λ·gr] and r̃ = [residual; 1]:
+      dual  (q+1 ≤ n): d = H⁻¹ Jt (I + Q̃ JtᵀH⁻¹Jt)⁻¹ r̃,  H = diag(Hr)
+      primal (else):   d = (Jt Q̃ Jtᵀ + λ·diag(Hr))⁻¹ Jt r̃
+    (Note the reference's H carries no λ in the dual branch — a quirk we
+    reproduce; the branches coincide at λ=1.)
+    """
+    n = x.shape[-1]
+    yhat, J, residual, Q = prob.ggn_pieces(As, ys, x)
+    J2 = J.reshape(-1, n)
+    q = J2.shape[0]
+    Q2 = jnp.asarray(Q).reshape(q, q)
+    dt = x.dtype
+
+    Jt = jnp.concatenate([J2.T, (lam * gr)[:, None]], axis=1)  # n × (q+1)
+    rt = jnp.concatenate([residual.reshape(-1), jnp.ones((1,), dt)])
+    Qp = jnp.zeros((q + 1, q + 1), dt).at[:q, :q].set(Q2)
+
+    solver = method.solver
+    use_dual = (q + 1 <= n) if solver == "auto" else (solver == "dense_dual")
+
+    if use_dual:
+        hinv = 1.0 / Hr_diag
+        HinvJt = Jt * hinv[:, None]
+        Amat = Qp @ (Jt.T @ HinvJt)
+        B = jnp.linalg.solve(jnp.eye(q + 1, dtype=dt) + Amat, rt)
+        d = hinv * (Jt @ B)
+    else:
+        M = (Jt @ Qp) @ Jt.T + lam * jnp.diag(Hr_diag)
+        d = jnp.linalg.solve(M, Jt @ rt)
+    return -d
+
+
+def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam):
+    """Matrix-free GGN-CG direction (the scalable TPU path).
+
+    Solves the primal system (JᵀQJ + λ·diag(Hr)) d = −(Jᵀr + λ·gr) with
+    J applied via jvp/vjp of out_fn and Q as its diagonal (elementwise
+    losses) — no J, Q or normal matrix is ever materialized. Jacobi
+    preconditioning by the smoother-Hessian diagonal. On a row-sharded
+    mesh each matvec psums partial sums over the data axis.
+    """
+    yhat, residual, q_diag = prob.ggn_residual_qdiag(As, ys, x)
+    _, jt = prob.vjp_out(As, x)
+    b = -(jt(residual) + lam * gr)
+    lhr = lam * Hr_diag
+
+    def mv(v):
+        return jt(q_diag * prob.jvp_out(As, x, v)) + lhr * v
+
+    M_inv = lambda v: v / jnp.maximum(lhr, jnp.finfo(x.dtype).tiny)
+    return cg_solve(mv, b, tol=method.cg_tol, maxiter=method.cg_maxiter,
+                    M_inv=M_inv).x
+
+
+def ggn_step(method: ProxGGNSCORE, prob: Problem, reg_name: str, sm,
+             As, ys, x, x_prev, gq_prev, it, mem: LBFGSMemory) -> StepOut:
+    """Generalized Gauss-Newton step with self-concordant damping."""
+    lam = _lam_scalar(prob.lam)
+    cw = _cw(prob, reg_name)
+    gr = sm.grad(x, cw)
+    lgr = lam * gr
+    Hr_diag = sm.hess_diag(x, cw)
+
+    if method.solver == "cg":
+        d = _ggn_cg_direction(method, prob, As, ys, x, gr, Hr_diag, lam)
+    else:
+        d = _ggn_dense_direction(method, prob, As, ys, x, gr, Hr_diag, lam)
+
+    # composite gradients only needed for BB (ss2); GGN never forms ∇f
+    # otherwise (parity: prox-GGN-SCORE.jl:58-63 defines grad_f lazily)
+    if method.ss_type == 2:
+        gq = prob.grad_f(As, ys, x) + lgr
+        gqp = prob.grad_f(As, ys, x_prev) + lam * sm.grad(x_prev, cw)
+    else:
+        gq = jnp.zeros_like(x)
+        gqp = gq_prev
+    ss = _resolve_step_size(method, prob, sm, reg_name, As, ys,
+                            x, x_prev, gq, gqp, d, it, cw)
+    x_new, pri, dx = _damped_prox_update(
+        method, prob, reg_name, sm, x, d, ss, lam, lgr, Hr_diag
+    )
+    return StepOut(x_new, pri, dx, gq, jnp.zeros_like(x), mem)
+
+
+# ---------------------------------------------------------------------------
+# Prox-L-BFGS SCORE
+# ---------------------------------------------------------------------------
+
+
+def lbfgs_step(method: ProxLQNSCORE, prob: Problem, reg_name: str, sm,
+               As, ys, x, x_prev, gq_prev, it, mem: LBFGSMemory,
+               gq_cached=None) -> StepOut:
+    """L-BFGS step with self-concordant damping.
+
+    Direction from the two-loop recursion on the composite gradient
+    ∇q = ∇f + λ·∇g_s (prox-L-BFGS-SCORE.jl:101-106); with empty memory the
+    recursion degenerates to −H0·∇q = −∇q, which covers the reference's
+    explicit iter==1 branch.
+
+    The reference evaluates TWO full gradients per step (at x and x_new,
+    prox-L-BFGS-SCORE.jl:101,148-151). In full-batch mode the driver
+    carries ∇q(x_new) forward as `gq_cached`, halving gradient work with
+    bit-identical results; pass gq_cached=None (mini-batch) to recompute.
+    """
+    lam = _lam_scalar(prob.lam)
+    cw = _cw(prob, reg_name)
+    gr = sm.grad(x, cw)
+    lgr = lam * gr
+    Hr_diag = sm.hess_diag(x, cw)
+
+    if gq_cached is not None:
+        gq = gq_cached
+    else:
+        gq = prob.grad_f(As, ys, x) + lgr
+
+    d = two_loop(mem, gq)
+
+    ss = _resolve_step_size(method, prob, sm, reg_name, As, ys,
+                            x, x_prev, gq, gq_prev, d, it, cw)
+    x_new, pri, dx = _damped_prox_update(
+        method, prob, reg_name, sm, x, d, ss, lam, lgr, Hr_diag
+    )
+
+    # curvature pair from the NEW composite gradient
+    # (parity: prox-L-BFGS-SCORE.jl:148-162)
+    delta = x_new - x
+    gq_new = prob.grad_f(As, ys, x_new) + lam * sm.grad(x_new, cw)
+    gamma = gq_new - gq
+    mem = update_memory(mem, delta, gamma)
+    return StepOut(x_new, pri, dx, gq, gq_new, mem)
+
+
+def make_step_fn(method):
+    """Dispatch a method config to its step implementation (trace-time)."""
+    if isinstance(method, ProxNSCORE):
+        return newton_step
+    if isinstance(method, ProxGGNSCORE):
+        return ggn_step
+    if isinstance(method, ProxLQNSCORE):
+        return lbfgs_step
+    raise TypeError(f"unknown method {method!r}")

@@ -1,0 +1,148 @@
+"""Canonical model/loss functions for the benchmark problem families.
+
+These provide closed-form derivatives for the problems the reference
+exercises (sparse logistic regression, least squares / group lasso,
+box-constrained QP, Rosenbrock — README.md:44-272, test/test_algs.jl),
+so solves avoid AD fallbacks on the hot path. All are pure jnp and
+MXU-friendly: the data term is one (m×n)·(n,) matmul; everything else is
+fused elementwise VPU work.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression with ±1 labels:
+#   f(A, y, x) = (1/m)·Σ log(1 + exp(−y ⊙ (A x)))
+# (parity: the reference test fixture f_reg, test/test_algs.jl:10)
+# ---------------------------------------------------------------------------
+
+
+def logistic_f(A, y, x):
+    z = y * (A @ x)
+    # log(1 + exp(-z)) = softplus(-z), numerically stable
+    return jnp.mean(jax.nn.softplus(-z))
+
+
+def logistic_grad(A, y, x):
+    z = y * (A @ x)
+    s = jax.nn.sigmoid(-z)  # = exp(-z)/(1+exp(-z))
+    return A.T @ (-y * s) / A.shape[0]
+
+
+def logistic_hess(A, y, x):
+    z = y * (A @ x)
+    s = jax.nn.sigmoid(z)
+    w = s * (1.0 - s)
+    return (A.T * w) @ A / A.shape[0]
+
+
+def logistic_hvp(A, y, x, v):
+    z = y * (A @ x)
+    s = jax.nn.sigmoid(z)
+    w = s * (1.0 - s)
+    return A.T @ (w * (A @ v)) / A.shape[0]
+
+
+def sigmoid_out(A, x):
+    """Model output ŷ = σ(A x) — the reference's Mfunc
+    (test/test_algs.jl:11, README.md:146)."""
+    return jax.nn.sigmoid(A @ x)
+
+
+def logistic_loss_01(y, yhat):
+    """Cross-entropy in ŷ for 0/1-coded y — the reference's second f_reg
+    method (test/test_algs.jl:10): −(1/m)·Σ[y log ŷ + (1−y) log(1−ŷ)].
+
+    NOTE the reference feeds ±1 labels into this 0/1 formula when GGN uses
+    AD — reproduced deliberately (its GGN tests pass that way).
+    """
+    m = yhat.shape[0]
+    return -jnp.sum(y * jnp.log(yhat) + (1.0 - y) * jnp.log(1.0 - yhat)) / m
+
+
+def logistic_ggn_residual(A, y, yhat):
+    """∇_ŷ of logistic_loss_01."""
+    m = yhat.shape[0]
+    return (-(y / yhat) + (1.0 - y) / (1.0 - yhat)) / m
+
+
+def logistic_ggn_qdiag(A, y, yhat):
+    """diag ∇²_ŷ of logistic_loss_01 (it is exactly diagonal)."""
+    m = yhat.shape[0]
+    return (y / yhat**2 + (1.0 - y) / (1.0 - yhat) ** 2) / m
+
+
+def sigmoid_jac(A, y, yhat, x):
+    """J = ∂ŷ/∂x = diag(ŷ(1−ŷ))·A."""
+    return A * (yhat * (1.0 - yhat))[:, None]
+
+
+# ---------------------------------------------------------------------------
+# Least squares:  f(A, y, x) = (1/(2m))·‖A x − y‖²
+# (parity: README.md group-lasso example, README.md:212-214)
+# ---------------------------------------------------------------------------
+
+
+def lsq_f(A, y, x):
+    r = A @ x - y
+    return 0.5 * jnp.sum(r * r) / A.shape[0]
+
+
+def lsq_grad(A, y, x):
+    return A.T @ (A @ x - y) / A.shape[0]
+
+
+def lsq_hess(A, y, x):
+    return A.T @ A / A.shape[0]
+
+
+def linear_out(A, x):
+    return A @ x
+
+
+def lsq_loss(y, yhat):
+    r = yhat - y
+    return 0.5 * jnp.sum(r * r) / yhat.shape[0]
+
+
+def lsq_ggn_residual(A, y, yhat):
+    return (yhat - y) / yhat.shape[0]
+
+
+def lsq_ggn_qdiag(A, y, yhat):
+    return jnp.full_like(yhat, 1.0 / yhat.shape[0])
+
+
+def linear_jac(A, y, yhat, x):
+    return A
+
+
+# ---------------------------------------------------------------------------
+# Quadratic program:  f(x) = ½ xᵀQx + cᵀx
+# (parity: box-QP fixture f_qp, test/test_algs.jl:87; README.md:258)
+# ---------------------------------------------------------------------------
+
+
+def qp_f(Q, c, x):
+    return 0.5 * jnp.dot(x, Q @ x) + jnp.dot(c, x)
+
+
+def qp_grad(Q, c, x):
+    return 0.5 * (Q + Q.T) @ x + c
+
+
+def qp_hess(Q, c, x):
+    return 0.5 * (Q + Q.T)
+
+
+# ---------------------------------------------------------------------------
+# Rosenbrock (README quick start, README.md:48)
+# ---------------------------------------------------------------------------
+
+
+def rosenbrock(x):
+    return 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2

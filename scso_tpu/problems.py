@@ -1,0 +1,276 @@
+"""Problem containers: minimize f(x) + g(x).
+
+TPU-native re-design of the reference's mutable `Problem`/`ProblemGeneric`
+structs (/root/reference/src/problems.jl:5-40): a frozen pytree dataclass
+whose array fields (data, iterates, penalties, bounds) are traced leaves
+and whose callables (f, derivatives, model output fn) are static pytree
+metadata — so a `Problem` can be passed straight through `jax.jit`,
+`jax.vmap` (λ/μ sweeps) and `jax.device_put` (sharding the data matrix).
+
+Derivative fallbacks: where the reference falls back to ForwardDiff
+(prox-N-SCORE.jl:57-65, prox-GGN-SCORE.jl:50-56), we use `jax.grad` /
+`jax.hessian` / `jax.jacfwd` — reverse-mode for gradients and
+matrix-free jvp/vjp pairs for the scalable GGN-CG path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scso_tpu._src.struct import pytree_dataclass, static_field
+from scso_tpu.ops.groups import Groups
+from scso_tpu.ops.regularizers import reg_value
+
+
+@pytree_dataclass
+class Problem:
+    """Composite convex problem: minimize f(x) + λ·g(x).
+
+    Two flavours mirror the reference:
+      * generic (no data): ``f(x)`` — reference ProblemGeneric
+        (problems.jl:5-19); build with :func:`make_problem`.
+      * data-driven: ``f(A, y, x)`` over a data matrix — reference Problem
+        (problems.jl:21-40); build with :func:`make_problem` passing A, y.
+
+    Array fields are pytree leaves; callables are static metadata.
+    ``x_star`` is the reference's ``sol`` kwarg stored in ``model.x``
+    (problems.jl:49,70) — the ground truth used for relative-error
+    reporting, defaulting to zeros.
+    """
+
+    # --- traced leaves -------------------------------------------------
+    x0: jax.Array
+    lam: jax.Array
+    A: Optional[jax.Array] = None
+    y: Optional[jax.Array] = None
+    Atest: Optional[jax.Array] = None
+    ytest: Optional[jax.Array] = None
+    L: Optional[jax.Array] = None
+    x_star: Optional[jax.Array] = None
+    lb: Optional[jax.Array] = None
+    ub: Optional[jax.Array] = None
+    groups: Optional[Groups] = None
+
+    # --- static metadata ------------------------------------------------
+    f: Optional[Callable] = static_field(default=None)
+    loss_fn: Optional[Callable] = static_field(default=None)  # f(y, yhat) for GGN
+    out_fn: Optional[Callable] = static_field(default=None)   # model output M(A, x)
+    grad_fx: Optional[Callable] = static_field(default=None)
+    hess_fx: Optional[Callable] = static_field(default=None)
+    jac_yx: Optional[Callable] = static_field(default=None)
+    grad_fy: Optional[Callable] = static_field(default=None)
+    hess_fy: Optional[Callable] = static_field(default=None)
+    hess_fy_diag: Optional[Callable] = static_field(default=None)  # scalable GGN
+    name: Optional[str] = static_field(default=None)
+    has_data: bool = static_field(default=False)
+
+    # --- reference-compatible aliases ------------------------------------
+    @property
+    def x(self):
+        """Ground-truth/solution vector (reference `model.x`)."""
+        return self.x_star
+
+    @property
+    def n(self) -> int:
+        return self.x0.shape[-1]
+
+    # --- f and derivatives (with AD fallbacks) ---------------------------
+
+    def f_val(self, As, ys, x):
+        """f at x on the given batch (full data by default)."""
+        if self.has_data:
+            return self.f(As, ys, x)
+        return self.f(x)
+
+    def grad_f(self, As, ys, x):
+        """∇f — user `grad_fx` or `jax.grad` fallback.
+
+        Parity: prox-N-SCORE.jl:49-65 (user fn else ForwardDiff.gradient).
+        """
+        if self.grad_fx is not None:
+            return self.grad_fx(As, ys, x) if self.has_data else self.grad_fx(x)
+        return jax.grad(lambda v: self.f_val(As, ys, v))(x)
+
+    def hess_f(self, As, ys, x):
+        """∇²f — user `hess_fx` or `jax.hessian` fallback."""
+        if self.hess_fx is not None:
+            return self.hess_fx(As, ys, x) if self.has_data else self.hess_fx(x)
+        return jax.hessian(lambda v: self.f_val(As, ys, v))(x)
+
+    def hvp_f(self, As, ys, x, v):
+        """Matrix-free Hessian-vector product ∇²f(x)·v via forward-over-
+        reverse — the scalable Newton-CG path (no n×n materialization)."""
+        g = lambda u: self.grad_f(As, ys, u)
+        return jax.jvp(g, (x,), (v,))[1]
+
+    # --- GGN pieces -------------------------------------------------------
+
+    def out(self, As, x):
+        if self.out_fn is None:
+            raise ValueError("ProxGGNSCORE requires out_fn on the problem")
+        return self.out_fn(As, x)
+
+    def ggn_pieces(self, As, ys, x):
+        """(yhat, J, residual, Q) for the dense GGN step.
+
+        Parity: prox-GGN-SCORE.jl:44-56 — user (jac_yx, grad_fy, hess_fy)
+        or AD of out_fn / loss_fn.
+        """
+        yhat = self.out(As, x)
+        if all(fn is not None for fn in (self.jac_yx, self.grad_fy, self.hess_fy)):
+            J = self.jac_yx(As, ys, yhat, x)
+            residual = self.grad_fy(As, ys, yhat)
+            Q = self.hess_fy(As, ys, yhat)
+            return yhat, J, residual, Q
+        if self.loss_fn is None:
+            raise ValueError(
+                "GGN AD fallback requires loss_fn(y, yhat) on the problem "
+                "(the reference's second f method, README.md:141-146)"
+            )
+        J = jax.jacfwd(lambda v: self.out(As, v))(x)
+        residual = jax.grad(lambda yh: self.loss_fn(ys, yh))(yhat)
+        Q = jax.hessian(lambda yh: self.loss_fn(ys, yh))(yhat)
+        return yhat, J, residual, Q
+
+    def ggn_residual_qdiag(self, As, ys, x):
+        """(yhat, residual, q_diag) for the matrix-free GGN-CG path.
+
+        Uses `hess_fy_diag` when available (elementwise losses have a
+        diagonal Q), else extracts the diagonal of the dense AD Hessian.
+        """
+        yhat = self.out(As, x)
+        if self.grad_fy is not None:
+            residual = self.grad_fy(As, ys, yhat)
+        elif self.loss_fn is not None:
+            residual = jax.grad(lambda yh: self.loss_fn(ys, yh))(yhat)
+        else:
+            raise ValueError("GGN requires grad_fy or loss_fn")
+        if self.hess_fy_diag is not None:
+            q_diag = self.hess_fy_diag(As, ys, yhat)
+        elif self.hess_fy is not None:
+            q_diag = jnp.diagonal(self.hess_fy(As, ys, yhat))
+        elif self.loss_fn is not None:
+            q_diag = jnp.diagonal(
+                jax.hessian(lambda yh: self.loss_fn(ys, yh))(yhat)
+            )
+        else:
+            raise ValueError("GGN requires hess_fy(_diag) or loss_fn")
+        return yhat, residual, q_diag
+
+    def jvp_out(self, As, x, v):
+        """J·v without materializing J."""
+        return jax.jvp(lambda u: self.out(As, u), (x,), (v,))[1]
+
+    def vjp_out(self, As, x):
+        """Returns (yhat, fn u -> Jᵀ·u) without materializing J."""
+        yhat, vjp = jax.vjp(lambda u: self.out(As, u), x)
+        return yhat, lambda u: vjp(u)[0]
+
+    # --- regularizer ------------------------------------------------------
+
+    def reg(self, reg_name: str, x):
+        return reg_value(
+            reg_name, x, lam=self.lam, lb=self.lb, ub=self.ub, groups=self.groups
+        )
+
+    def obj(self, reg_name: str, x, As=None, ys=None):
+        As = self.A if As is None else As
+        ys = self.y if ys is None else ys
+        return self.f_val(As, ys, x) + self.reg(reg_name, x)
+
+
+def _resolve_bounds(C_set, dtype):
+    """Normalize C_set=(lb, ub) / [lb, ub] into broadcastable arrays.
+
+    Unlike the smoother-side `sanitize_bounds`, infinities are KEPT here:
+    the reference's `get_reg`/prox use the raw C_set (regularizers.jl:9-19,
+    prox-operators.jl:27-46); only smoothers cache ±inf to ±1e32.
+    """
+    if C_set is None:
+        return None, None
+    lb, ub = C_set[0], C_set[1]
+    return jnp.asarray(lb, dtype=dtype), jnp.asarray(ub, dtype=dtype)
+
+
+def make_problem(
+    *args,
+    Atest=None,
+    ytest=None,
+    L=None,
+    sol=None,
+    C_set=None,
+    P: Optional[Groups] = None,
+    groups: Optional[Groups] = None,
+    out_fn=None,
+    loss_fn=None,
+    grad_fx=None,
+    hess_fx=None,
+    jac_yx=None,
+    grad_fy=None,
+    hess_fy=None,
+    hess_fy_diag=None,
+    name=None,
+    dtype=None,
+) -> Problem:
+    """Build a :class:`Problem` — mirrors the reference's constructors.
+
+    Call shapes (parity: problems.jl:44-59 and :61-81):
+      * ``make_problem(x0, f, lam, ...)`` — generic problem, ``f(x)``.
+      * ``make_problem(A, y, x0, f, lam, ...)`` — data problem,
+        ``f(A, y, x)``.
+
+    ``P``/``groups`` accept a :class:`~scso_tpu.ops.groups.Groups`
+    (the reference's `get_P` object). ``sol`` is stored as ``x_star``
+    (ground truth for relative errors), defaulting to zeros — the
+    reference's quirk at problems.jl:49,70, reproduced deliberately.
+    """
+    if len(args) == 3:
+        x0, f, lam = args
+        A = y = None
+        has_data = False
+    elif len(args) == 5:
+        A, y, x0, f, lam = args
+        has_data = True
+    else:
+        raise TypeError(
+            "make_problem takes (x0, f, lam, ...) or (A, y, x0, f, lam, ...)"
+        )
+
+    x0 = jnp.asarray(x0, dtype=dtype)
+    dt = x0.dtype
+    lam = jnp.asarray(lam, dtype=dt)
+    to = lambda v: None if v is None else jnp.asarray(v, dtype=dt)
+    A, y, Atest, ytest = to(A), to(y), to(Atest), to(ytest)
+    x_star = to(sol) if sol is not None else jnp.zeros_like(x0)
+    lb, ub = _resolve_bounds(C_set, dt)
+    L = None if L is None else jnp.asarray(L, dtype=dt)
+    grp = groups if groups is not None else P
+
+    return Problem(
+        x0=x0,
+        lam=lam,
+        A=A,
+        y=y,
+        Atest=Atest,
+        ytest=ytest,
+        L=L,
+        x_star=x_star,
+        lb=lb,
+        ub=ub,
+        groups=grp,
+        f=f,
+        loss_fn=loss_fn,
+        out_fn=out_fn,
+        grad_fx=grad_fx,
+        hess_fx=hess_fx,
+        jac_yx=jac_yx,
+        grad_fy=grad_fy,
+        hess_fy=hess_fy,
+        hess_fy_diag=hess_fy_diag,
+        name=name,
+        has_data=has_data,
+    )

@@ -1,0 +1,280 @@
+"""End-to-end solver regression tests.
+
+Oracle fixtures ported verbatim from the reference test suite
+(/root/reference/test/test_algs.jl): the 5×2 sparse logistic regression
+(all three methods × {l1, l2}, rel/objrel ≤ 1e-6) and the 5×5
+box-constrained QP (PHuber & Exponential ind-box smoothers, ≤ 1e-3).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import scso_tpu as scso
+from scso_tpu.models import losses
+
+# --- logistic fixture (test_algs.jl:2-13) ---------------------------------
+A_LOG = np.array([
+    [-0.560501, 0.0],
+    [0.0, 1.85278],
+    [-0.0192918, -0.827763],
+    [0.128064, 0.110096],
+    [0.0, -0.251176],
+])
+Y_LOG = np.array([-1.0, -1.0, -1.0, 1.0, -1.0])
+X0_LOG = np.array([0.5908446386657102, 0.7667970365022592])
+LAM = 1.0
+MU = 1.0
+TOL = 1e-6
+
+
+def f_reg(A, y, x):
+    return jnp.sum(jnp.log1p(jnp.exp(-y * (A @ x)))) / 5.0
+
+
+def f_reg_y(y, yhat):
+    return -jnp.sum(y * jnp.log(yhat) + (1.0 - y) * jnp.log(1.0 - yhat)) / 5.0
+
+
+def Mfunc(A, x):
+    return 1.0 / (1.0 + jnp.exp(-(A @ x)))
+
+
+def make_log_problem(**kw):
+    return scso.Problem(A_LOG, Y_LOG, X0_LOG, f_reg, LAM, dtype=np.float64, **kw)
+
+
+def check(sol):
+    assert sol.epochs + 1 >= 1
+    assert sol.rel[-1] <= TOL
+    assert sol.objrel[-1] <= TOL
+
+
+@pytest.mark.parametrize("reg_name", ["l1", "l2"])
+class TestLogisticOracles:
+    # parity: "Proximal Newton SCORE l1 l2" (test_algs.jl:15-27)
+    def test_prox_newton(self, reg_name):
+        model = make_log_problem()
+        np.testing.assert_allclose(np.asarray(model.x), np.zeros(2))
+        sol = scso.iterate(scso.ProxNSCORE(), model, reg_name,
+                           scso.PHuberSmootherL1L2(MU), verbose=0)
+        check(sol)
+
+    # parity: "Proximal GGN SCORE l1 l2" (test_algs.jl:29-41)
+    def test_prox_ggn(self, reg_name):
+        model = make_log_problem(out_fn=Mfunc, loss_fn=f_reg_y)
+        sol = scso.iterate(scso.ProxGGNSCORE(), model, reg_name,
+                           scso.PHuberSmootherL1L2(MU), verbose=0)
+        check(sol)
+
+    # parity: "Proximal L-BFGS SCORE l1 l2" (test_algs.jl:43-55)
+    def test_prox_lbfgs(self, reg_name):
+        model = make_log_problem()
+        sol = scso.iterate(scso.ProxLQNSCORE(), model, reg_name,
+                           scso.PHuberSmootherL1L2(MU), verbose=0)
+        check(sol)
+
+    def test_ggn_solver_variants_agree(self, reg_name):
+        """auto(dual here: q+1=6 > n=2 → primal), forced dual, forced
+        primal and matrix-free CG must land on the same solution."""
+        sols = []
+        for solver in ["auto", "dense_dual", "dense_primal", "cg"]:
+            kw = dict(out_fn=Mfunc, loss_fn=f_reg_y)
+            if solver == "cg":
+                kw.update(
+                    grad_fy=losses.logistic_ggn_residual,
+                    hess_fy_diag=losses.logistic_ggn_qdiag,
+                )
+            model = make_log_problem(**kw)
+            sol = scso.iterate(
+                scso.ProxGGNSCORE(solver=solver, cg_tol=1e-12, cg_maxiter=50),
+                model, reg_name, scso.PHuberSmootherL1L2(MU), verbose=0)
+            check(sol)
+            sols.append(sol.x)
+        for s in sols[1:]:
+            np.testing.assert_allclose(s, sols[0], atol=1e-6)
+
+    def test_user_derivatives_match_ad(self, reg_name):
+        """Closed-form logistic grad/hess (models.losses) vs AD fallback."""
+        model_ad = make_log_problem()
+        model_user = make_log_problem(
+            grad_fx=losses.logistic_grad, hess_fx=losses.logistic_hess
+        )
+        s1 = scso.iterate(scso.ProxNSCORE(), model_ad, reg_name,
+                          scso.PHuberSmootherL1L2(MU), verbose=0)
+        s2 = scso.iterate(scso.ProxNSCORE(), model_user, reg_name,
+                          scso.PHuberSmootherL1L2(MU), verbose=0)
+        np.testing.assert_allclose(s1.x, s2.x, atol=1e-10)
+
+    def test_timed_mode_matches_fused(self, reg_name):
+        model = make_log_problem()
+        s1 = scso.iterate(scso.ProxLQNSCORE(), model, reg_name,
+                          scso.PHuberSmootherL1L2(MU), verbose=0)
+        s2 = scso.iterate(scso.ProxLQNSCORE(), model, reg_name,
+                          scso.PHuberSmootherL1L2(MU), verbose=0, mode="timed")
+        np.testing.assert_allclose(s1.x, s2.x, atol=1e-12)
+        assert s1.epochs == s2.epochs
+        np.testing.assert_allclose(s1.obj, s2.obj, atol=1e-12)
+
+
+# --- box QP fixture (test_algs.jl:81-108) ----------------------------------
+A_QP = np.array([
+    [1.53976, 0.201833, 0.433995, 0.156497, 0.180124],
+    [0.201833, 2.37257, -0.0594941, -0.671533, 0.0739676],
+    [0.433995, -0.0594941, 3.15025, 0.808797, 0.954656],
+    [0.156497, -0.671533, 0.808797, 2.74361, 0.5621],
+    [0.180124, 0.0739676, 0.954656, 0.5621, 1.76141],
+])
+Y_QP = np.array([0.8673472019512456, -0.9017438158568171,
+                 -0.4944787535042339, -0.9029142938652416,
+                 0.8644013132535154])
+X0_QP = np.array([-2.07754990163271, -2.311005948690538,
+                  -0.25157276401631606, -0.8858618022602884,
+                  1.3116613046047525])
+XSTAR_QP = np.array([-0.7139006111210786, 0.642716661564418,
+                     0.3684773651494535, 0.5890487798472874,
+                     -0.8324174178513779])
+
+
+def f_qp(A, y, x):
+    return 0.5 * jnp.dot(x, A @ x) + jnp.dot(y, x)
+
+
+class TestBoxQP:
+    TOL = 1e-3
+
+    def make(self):
+        return scso.Problem(A_QP, Y_QP, X0_QP, f_qp, 1.0e-4,
+                            C_set=[-1.0, 1.0], sol=XSTAR_QP,
+                            dtype=np.float64)
+
+    # parity: "PHuber indbox" (test_algs.jl:94-99)
+    def test_phuber_indbox(self):
+        model = self.make()
+        sol = scso.iterate(scso.ProxNSCORE(), model, "indbox",
+                           scso.PHuberSmootherIndBox(-1.0, 1.0, 0.6),
+                           alpha=0.8, verbose=0)
+        assert sol.epochs + 1 >= 1
+        assert sol.rel[-1] <= self.TOL
+        assert sol.objrel[-1] <= self.TOL
+
+    # parity: "Exp indbox" (test_algs.jl:101-107)
+    def test_exp_indbox(self):
+        model = self.make()
+        sol = scso.iterate(scso.ProxNSCORE(), model, "indbox",
+                           scso.ExponentialSmootherIndBox(-1.0, 1.0, 0.6),
+                           alpha=1.0, verbose=0)
+        assert sol.epochs + 1 >= 1
+        assert sol.rel[-1] <= self.TOL
+        assert sol.objrel[-1] <= self.TOL
+
+    def test_logexp_indbox(self):
+        """Untested in the reference (SURVEY.md §4) — covered here."""
+        model = self.make()
+        sol = scso.iterate(scso.ProxNSCORE(), model, "indbox",
+                           scso.LogExpSmootherIndBox(-1.0, 1.0, 0.6),
+                           alpha=0.8, verbose=0)
+        assert sol.rel[-1] <= 2e-3
+
+
+class TestRosenbrock:
+    # README quick start (README.md:46-67): l1-regularized Rosenbrock via
+    # the generic (no-data) problem path
+    def test_lbfgs_quickstart(self):
+        x0 = np.array([0.2, -0.5])
+        problem = scso.Problem(x0, losses.rosenbrock, 1e-8, dtype=np.float64)
+        sol = scso.iterate(scso.ProxLQNSCORE(use_prox=True, m=10), problem,
+                           "l1", scso.PHuberSmootherL1L2(1.0),
+                           max_epoch=2000, verbose=0)
+        np.testing.assert_allclose(sol.x, [1.0, 1.0], atol=1e-3)
+
+    def test_newton_generic(self):
+        x0 = np.array([0.2, -0.5])
+        problem = scso.Problem(x0, losses.rosenbrock, 1e-8, dtype=np.float64)
+        sol = scso.iterate(scso.ProxNSCORE(), problem, "l1",
+                           scso.PHuberSmootherL1L2(1.0), alpha=1.0,
+                           max_epoch=500, verbose=0)
+        np.testing.assert_allclose(sol.x, [1.0, 1.0], atol=1e-4)
+
+
+class TestSolveOptions:
+    def test_metrics_fused(self):
+        model = make_log_problem()
+        metrics = {"xnorm": lambda prob, x: jnp.linalg.norm(x)}
+        sol = scso.iterate(scso.ProxNSCORE(), model, "l1",
+                           scso.PHuberSmootherL1L2(MU), metrics=metrics,
+                           verbose=0)
+        assert "xnorm" in sol.metricvals
+        assert len(sol.metricvals["xnorm"]) == len(sol.obj)
+        assert sol.metricvals["xnorm"][0] == pytest.approx(
+            np.linalg.norm(X0_LOG)
+        )
+
+    def test_test_set_history(self):
+        model = scso.Problem(A_LOG, Y_LOG, X0_LOG, f_reg, LAM,
+                             Atest=A_LOG, ytest=Y_LOG, dtype=np.float64)
+        sol = scso.iterate(scso.ProxNSCORE(), model, "l1",
+                           scso.PHuberSmootherL1L2(MU), verbose=0)
+        assert len(sol.fvaltest) == len(sol.fval)
+        np.testing.assert_allclose(sol.fvaltest, sol.fval, atol=1e-12)
+
+    def test_histories_monotone_convergence(self):
+        model = make_log_problem()
+        sol = scso.iterate(scso.ProxNSCORE(), model, "l1",
+                           scso.PHuberSmootherL1L2(MU), verbose=0)
+        assert sol.obj[-1] <= sol.obj[0]
+        assert len(sol.obj) == sol.epochs + 1
+        assert np.isnan(sol.pri_res_norm[0])  # no step before first record
+
+    def test_max_epoch_cap(self):
+        model = make_log_problem()
+        sol = scso.iterate(scso.ProxLQNSCORE(), model, "l1",
+                           scso.PHuberSmootherL1L2(MU), max_epoch=3,
+                           verbose=0)
+        assert sol.epochs <= 3
+
+    def test_ss3_linesearch(self):
+        model = make_log_problem()
+        sol = scso.iterate(scso.ProxNSCORE(ss_type=3), model, "l1",
+                           scso.PHuberSmootherL1L2(MU), verbose=0)
+        check(sol)
+
+    def test_ss2_bb(self):
+        model = make_log_problem()
+        sol = scso.iterate(scso.ProxNSCORE(ss_type=2), model, "l1",
+                           scso.PHuberSmootherL1L2(MU), verbose=0)
+        assert sol.rel[-1] <= 1e-4  # BB is cruder; still converges
+
+    def test_no_prox_variant(self):
+        # without the prox step the iterates settle at the SMOOTHED
+        # problem's solution (parity: use_prox=false skips prox and takes
+        # only the damped Newton step, prox-N-SCORE.jl:109-111)
+        model = make_log_problem()
+        sol = scso.iterate(scso.ProxNSCORE(use_prox=False), model, "l2",
+                           scso.PHuberSmootherL1L2(MU), verbose=0)
+        assert sol.obj[-1] <= sol.obj[0]
+        assert sol.rel[-1] <= 0.2
+
+    def test_batched_mode_runs(self):
+        # batching paths are untested in the reference (SURVEY.md §4 —
+        # its "batch" testsets never pass batch_size); we verify ours
+        model = make_log_problem(out_fn=Mfunc, loss_fn=f_reg_y)
+        sol = scso.iterate(scso.ProxGGNSCORE(), model, "l1",
+                           scso.PHuberSmootherL1L2(MU), batch_size=1,
+                           max_epoch=300, verbose=0)
+        assert sol.rel[-1] <= 1e-3
+
+    def test_batch_size_must_divide(self):
+        model = make_log_problem()
+        with pytest.raises(ValueError):
+            scso.iterate(scso.ProxNSCORE(), model, "l1",
+                         scso.PHuberSmootherL1L2(MU), batch_size=2,
+                         verbose=0)
+
+    def test_local_max_iter(self):
+        model = make_log_problem()
+        sol = scso.iterate(scso.ProxNSCORE(), model, "l1",
+                           scso.PHuberSmootherL1L2(MU), batch_size=1,
+                           local_max_iter=2, verbose=0)
+        # one epoch, at most 2 inner steps
+        assert sol.epochs == 1

@@ -1,0 +1,29 @@
+"""Scale-out layer: device meshes, row-sharded data, instance sweeps.
+
+New TPU-native capability — the reference has no parallelism of any kind
+(SURVEY.md §2); see the module docstrings for the design.
+"""
+
+from scso_tpu.parallel.sharding import (
+    make_mesh,
+    pad_rows,
+    replicate,
+    shard_problem,
+)
+from scso_tpu.parallel.sweep import (
+    SweepResult,
+    solve_fleet,
+    stack_problems,
+    sweep,
+)
+
+__all__ = [
+    "make_mesh",
+    "pad_rows",
+    "replicate",
+    "shard_problem",
+    "SweepResult",
+    "solve_fleet",
+    "stack_problems",
+    "sweep",
+]

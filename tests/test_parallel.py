@@ -1,0 +1,175 @@
+"""Scale-out tests on the 8-device virtual CPU mesh.
+
+The reference has no parallelism (SURVEY.md §2); these tests validate the
+new TPU-native capability: a row-sharded solve must match the
+single-device solve to tolerance, and vmapped λ/μ sweeps / problem fleets
+must match per-instance scalar solves.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import scso_tpu as scso
+from scso_tpu.models import losses, synthetic
+from scso_tpu.parallel import (
+    make_mesh,
+    pad_rows,
+    shard_problem,
+    solve_fleet,
+    stack_problems,
+    sweep,
+)
+
+
+def make_logreg(m=64, n=12, seed=0):
+    A, y, x0, _ = synthetic.make_sparse_logreg_data(
+        m, n, density=0.3, n_active=4, seed=seed, dtype=np.float64)
+    return scso.Problem(
+        A, y, x0, losses.logistic_f, 1e-2,
+        grad_fx=losses.logistic_grad, hess_fx=losses.logistic_hess,
+        dtype=np.float64,
+    )
+
+
+class TestMesh:
+    def test_make_mesh_default(self):
+        mesh = make_mesh()
+        assert mesh.devices.size == len(jax.devices())
+        assert mesh.axis_names == ("data",)
+
+    def test_make_mesh_2d(self):
+        mesh = make_mesh((4, 2), ("batch", "data"))
+        assert mesh.shape["batch"] == 4
+        assert mesh.shape["data"] == 2
+
+    def test_make_mesh_too_big(self):
+        with pytest.raises(ValueError):
+            make_mesh((1000,))
+
+
+class TestRowSharding:
+    def test_sharded_solve_matches_single_device(self):
+        prob = make_logreg(m=64)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        ref = scso.iterate(scso.ProxNSCORE(), prob, "l1", sm, verbose=0)
+
+        mesh = make_mesh()
+        sprob = shard_problem(prob, mesh)
+        # data is actually distributed by rows
+        assert len(sprob.A.sharding.device_set) == 8
+        sol = scso.iterate(scso.ProxNSCORE(), sprob, "l1", sm, verbose=0)
+        np.testing.assert_allclose(sol.x, ref.x, atol=1e-9)
+        np.testing.assert_allclose(sol.obj[-1], ref.obj[-1], rtol=1e-12)
+
+    def test_sharded_cg_matches(self):
+        prob = make_logreg(m=64)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        method = scso.ProxNSCORE(solver="cg", cg_tol=1e-12)
+        ref = scso.iterate(method, prob, "l1", sm, verbose=0)
+        sprob = shard_problem(prob, make_mesh())
+        sol = scso.iterate(method, sprob, "l1", sm, verbose=0)
+        np.testing.assert_allclose(sol.x, ref.x, atol=1e-8)
+
+    def test_indivisible_rejected(self):
+        prob = make_logreg(m=30)
+        with pytest.raises(ValueError):
+            shard_problem(prob, make_mesh())
+
+    def test_requires_data(self):
+        prob = scso.Problem(np.zeros(2), losses.rosenbrock, 1e-8,
+                            dtype=np.float64)
+        with pytest.raises(ValueError):
+            shard_problem(prob, make_mesh())
+
+    def test_pad_rows(self):
+        A = np.ones((5, 3))
+        y = np.ones((5,))
+        Ap, yp, m = pad_rows(A, y, 8)
+        assert Ap.shape == (8, 3) and yp.shape == (8,) and m == 5
+        assert np.all(np.asarray(Ap[5:]) == 0)
+        A2, y2, m2 = pad_rows(np.asarray(Ap), np.asarray(yp), 8)
+        assert m2 == 8 and A2.shape == (8, 3)
+
+
+class TestSweep:
+    def test_lambda_path_matches_scalar_solves(self):
+        prob = make_logreg(m=32, n=8)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        lam_grid = np.array([1e-3, 1e-2, 1e-1, 1.0])
+        opts = scso.Options(max_epoch=100, verbose=0)
+        res = sweep(scso.ProxNSCORE(), prob, "l1", sm,
+                    lam_grid=lam_grid, opts=opts)
+        assert res.batch_size == 4
+        from scso_tpu._src.struct import replace as dc_replace
+        for i, lam in enumerate(lam_grid):
+            p = dc_replace(prob, lam=jnp.asarray(lam, jnp.float64))
+            ref = scso.iterate(scso.ProxNSCORE(), p, "l1", sm,
+                               max_epoch=100, verbose=0)
+            np.testing.assert_allclose(res.x[i], ref.x, atol=1e-9)
+            np.testing.assert_allclose(res.obj[i], ref.obj[-1], rtol=1e-10)
+            assert res.epochs[i] == ref.epochs
+
+    def test_mu_grid(self):
+        prob = make_logreg(m=32, n=8)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        res = sweep(scso.ProxLQNSCORE(), prob, "l1", sm,
+                    mu_grid=np.array([0.5, 1.0, 2.0]),
+                    opts=scso.Options(max_epoch=200, verbose=0))
+        assert res.batch_size == 3
+        assert np.all(np.isfinite(res.obj))
+
+    def test_sharded_batch_axis(self):
+        prob = make_logreg(m=32, n=8)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        mesh = make_mesh(axis_names=("batch",))
+        lam_grid = np.logspace(-3, 0, 8)
+        res = sweep(scso.ProxNSCORE(), prob, "l1", sm, lam_grid=lam_grid,
+                    opts=scso.Options(max_epoch=100, verbose=0), mesh=mesh)
+        assert res.batch_size == 8
+        assert np.all(np.isfinite(res.obj))
+        # heavy penalties drive the solution fully sparse
+        assert np.allclose(res.x[-1], 0.0, atol=1e-6)
+        # light penalties keep signal
+        assert np.linalg.norm(res.x[0]) > 0.1
+
+    def test_grid_size_mismatch(self):
+        prob = make_logreg(m=32, n=8)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        with pytest.raises(ValueError):
+            sweep(scso.ProxNSCORE(), prob, "l1", sm,
+                  lam_grid=np.ones(3), mu_grid=np.ones(4))
+
+    def test_no_grids(self):
+        prob = make_logreg(m=32, n=8)
+        with pytest.raises(ValueError):
+            sweep(scso.ProxNSCORE(), prob, "l1",
+                  scso.PHuberSmootherL1L2(1.0))
+
+
+class TestFleet:
+    def test_fleet_matches_scalar_solves(self):
+        probs = [make_logreg(m=32, n=8, seed=s) for s in range(4)]
+        sm = scso.PHuberSmootherL1L2(1.0)
+        sms = stack_problems([sm] * 4)  # trivially stacked smoother leaves
+        batched = stack_problems(probs)
+        opts = scso.Options(max_epoch=100, verbose=0)
+        res = solve_fleet(scso.ProxNSCORE(), batched, "l1", sms, opts=opts)
+        assert res.batch_size == 4
+        for i, p in enumerate(probs):
+            ref = scso.iterate(scso.ProxNSCORE(), p, "l1", sm,
+                               max_epoch=100, verbose=0)
+            np.testing.assert_allclose(res.x[i], ref.x, atol=1e-9)
+            assert res.epochs[i] == ref.epochs
+
+    def test_fleet_sharded(self):
+        probs = [make_logreg(m=32, n=8, seed=s) for s in range(8)]
+        sm = scso.PHuberSmootherL1L2(1.0)
+        mesh = make_mesh(axis_names=("batch",))
+        res = solve_fleet(
+            scso.ProxLQNSCORE(), stack_problems(probs), "l1",
+            stack_problems([sm] * 8),
+            opts=scso.Options(max_epoch=150, verbose=0), mesh=mesh)
+        assert res.batch_size == 8
+        assert np.all(np.isfinite(res.obj))

@@ -160,6 +160,23 @@ def _record(hist: History, fval, obj, rel, objrel, prires, fvaltest, mvals):
 # ---------------------------------------------------------------------------
 
 
+def _resolve_kernels(method, prob: Problem):
+    """Resolve method.kernels='auto' → 'pallas'|'xla' (host-side).
+
+    Pallas kernels are used on a TPU backend with single-device data; the
+    XLA path covers CPU tests, row-sharded meshes (a pallas_call is not
+    auto-partitionable under GSPMD) and vmapped sweeps.
+    """
+    if method.kernels != "auto":
+        return method
+    sharded = False
+    if prob.A is not None:
+        sh = getattr(prob.A, "sharding", None)
+        sharded = sh is not None and len(sh.device_set) > 1
+    use = jax.default_backend() == "tpu" and not sharded
+    return dataclasses.replace(method, kernels="pallas" if use else "xla")
+
+
 def _effective_L(prob: Problem, alpha):
     """α kwarg overrides L as L = 1/α — parity: iterate.jl:113-115."""
     if alpha is not None:
@@ -216,6 +233,7 @@ def solve(method, prob: Problem, reg_name: str, sm, opts: Options,
     `sm` are pytrees — so sweeps can vmap over their leaves (λ, μ, data).
     """
     prob = _effective_L(prob, alpha)
+    method = _resolve_kernels(method, prob)
     if opts.mode == "timed":
         return _solve_python(method, prob, reg_name, sm, opts,
                              metric_fns, metric_names)

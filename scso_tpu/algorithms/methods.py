@@ -12,6 +12,15 @@ from __future__ import annotations
 import dataclasses
 
 
+#: ``kernels`` values (all methods):
+#:   'auto'   — resolved by the driver to 'pallas' on a single-device TPU
+#:              backend, 'xla' otherwise (CPU, sharded data, vmapped sweeps);
+#:   'pallas' — use the fused Pallas kernels (ops/pallas/) wherever the
+#:              shapes/reg kind support them, falling back per-op;
+#:   'xla'    — pure jnp/XLA everywhere.
+_KERNEL_MODES = ("auto", "pallas", "xla")
+
+
 @dataclasses.dataclass(frozen=True)
 class ProxNSCORE:
     """Proximal Newton with self-concordant regularization.
@@ -26,6 +35,7 @@ class ProxNSCORE:
     solver: str = "dense"
     cg_tol: float = 1e-8
     cg_maxiter: int = 250
+    kernels: str = "auto"
     name: str = "prox-newtonscore"
     label: str = "Prox-N-SCORE"
 
@@ -55,6 +65,7 @@ class ProxGGNSCORE:
     solver: str = "auto"
     cg_tol: float = 1e-8
     cg_maxiter: int = 250
+    kernels: str = "auto"
     name: str = "prox-ggnscore"
     label: str = "Prox-GGN-SCORE"
 
@@ -74,6 +85,7 @@ class ProxLQNSCORE:
     ss_type: int = 1
     use_prox: bool = True
     m: int = 10
+    kernels: str = "auto"
     name: str = "prox-lbfgsscore"
     label: str = "Prox-LBFGS-SCORE"
 

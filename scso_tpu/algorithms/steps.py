@@ -31,6 +31,14 @@ from jax import lax
 from scso_tpu.algorithms.methods import ProxGGNSCORE, ProxLQNSCORE, ProxNSCORE
 from scso_tpu.ops.lbfgs_core import LBFGSMemory, two_loop, update_memory
 from scso_tpu.ops.linalg import armijo_linesearch, cg_solve, inv_bb_step
+from scso_tpu.ops.pallas.matvec import (
+    fused_normal_matvec,
+    supports_fused_normal_matvec,
+)
+from scso_tpu.ops.pallas.score_update import (
+    fused_score_update,
+    supports_fused_update,
+)
 from scso_tpu.ops.prox import prox_step
 from scso_tpu.ops.smoothers import get_Mg
 from scso_tpu.problems import Problem
@@ -114,9 +122,19 @@ def _damped_prox_update(method, prob: Problem, reg_name, sm, x, d,
     α = ss / (1 + M_g·η), η = sqrt(λgr' · diag(1/Hr) · λgr), safe_α = min(1, α)
     then x⁺ = prox_{g}^{diag(1/Hr)}(x + safe_α·d) with threshold scale = ss.
     Parity: prox-N-SCORE.jl:92-118.
+
+    With ``method.kernels == 'pallas'`` (and a supported reg kind) the
+    whole tail runs as one fused Pallas kernel (ops/pallas/score_update).
     """
-    hdiag_inv = 1.0 / Hr_diag
     Mg = get_Mg(sm.Mh, sm.nu, sm.mu, x.shape[-1])
+    if (method.kernels == "pallas"
+            and supports_fused_update(reg_name, method.use_prox)):
+        x_new, pri, safe_alpha = fused_score_update(
+            x, d, lgr, Hr_diag, lam, step_size, Mg, reg_name,
+            use_prox=method.use_prox, lb=prob.lb, ub=prob.ub,
+        )
+        return x_new, pri, safe_alpha * d
+    hdiag_inv = 1.0 / Hr_diag
     eta = jnp.sqrt(jnp.sum(lgr * hdiag_inv * lgr))
     alpha = step_size / (1.0 + Mg * eta)
     safe_alpha = jnp.minimum(1.0, alpha)
@@ -159,7 +177,16 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
         d = -jnp.linalg.solve(H + lam * jnp.diag(Hr_diag), gq)
     elif method.solver == "cg":
         lhr = lam * Hr_diag
-        mv = lambda v: prob.hvp_f(As, ys, x, v) + lhr * v
+        if (method.kernels == "pallas" and prob.hvp_w is not None
+                and prob.has_data
+                and supports_fused_normal_matvec(*As.shape)):
+            # GLM fast path: precompute the Hessian weights once per solve,
+            # then every CG matvec is ONE fused pass over A
+            # (ops/pallas/matvec) instead of jvp-of-grad's three.
+            w = prob.hvp_w(As, ys, x)
+            mv = lambda v: fused_normal_matvec(As, w, v) + lhr * v
+        else:
+            mv = lambda v: prob.hvp_f(As, ys, x, v) + lhr * v
         M_inv = lambda v: v / jnp.maximum(lhr, jnp.finfo(x.dtype).tiny)
         d = -cg_solve(mv, gq, tol=method.cg_tol, maxiter=method.cg_maxiter,
                       M_inv=M_inv).x
@@ -235,8 +262,14 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam):
     b = -(jt(residual) + lam * gr)
     lhr = lam * Hr_diag
 
-    def mv(v):
-        return jt(q_diag * prob.jvp_out(As, x, v)) + lhr * v
+    if (method.kernels == "pallas" and prob.ggn_w is not None
+            and supports_fused_normal_matvec(*As.shape)):
+        # GLM fast path: JᵀQJ·v = Aᵀ(w∘(Av)) in one fused pass over A.
+        w = prob.ggn_w(As, ys, x)
+        mv = lambda v: fused_normal_matvec(As, w, v) + lhr * v
+    else:
+        def mv(v):
+            return jt(q_diag * prob.jvp_out(As, x, v)) + lhr * v
 
     M_inv = lambda v: v / jnp.maximum(lhr, jnp.finfo(x.dtype).tiny)
     return cg_solve(mv, b, tol=method.cg_tol, maxiter=method.cg_maxiter,

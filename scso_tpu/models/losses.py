@@ -81,6 +81,27 @@ def sigmoid_jac(A, y, yhat, x):
     return A * (yhat * (1.0 - yhat))[:, None]
 
 
+def logistic_hvp_w(A, y, x):
+    """GLM Hessian weights: ∇²f·v = Aᵀ(w∘(Av)) with w = σ(1−σ)/m.
+
+    Feeds the fused single-pass normal-matvec kernel
+    (scso_tpu.ops.pallas.matvec) in Newton-CG.
+    """
+    s = jax.nn.sigmoid(y * (A @ x))
+    return s * (1.0 - s) / A.shape[0]
+
+
+def logistic_ggn_w(A, y, x):
+    """GGN weights: JᵀQJ·v = Aᵀ(w∘(Av)), w = (ŷ(1−ŷ))²·diag(Q).
+
+    With ŷ = σ(Ax), J = diag(ŷ(1−ŷ))·A and Q = diag(logistic_ggn_qdiag).
+    """
+    yhat = jax.nn.sigmoid(A @ x)
+    sp = yhat * (1.0 - yhat)
+    q = (y / yhat**2 + (1.0 - y) / (1.0 - yhat) ** 2) / A.shape[0]
+    return sp * sp * q
+
+
 # ---------------------------------------------------------------------------
 # Least squares:  f(A, y, x) = (1/(2m))·‖A x − y‖²
 # (parity: README.md group-lasso example, README.md:212-214)
@@ -119,6 +140,14 @@ def lsq_ggn_qdiag(A, y, yhat):
 
 def linear_jac(A, y, yhat, x):
     return A
+
+
+def lsq_hvp_w(A, y, x):
+    """∇²f·v = Aᵀ(w∘(Av)) with w = 1/m for least squares."""
+    return jnp.full((A.shape[0],), 1.0 / A.shape[0], x.dtype)
+
+
+lsq_ggn_w = lsq_hvp_w  # J = A, Q = I/m
 
 
 # ---------------------------------------------------------------------------

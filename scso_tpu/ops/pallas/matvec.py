@@ -1,0 +1,126 @@
+"""Fused normal-equation matvec kernel: v ↦ Aᵀ·(w ∘ (A·v)).
+
+This is THE hot op of the framework: every Newton-CG iteration computes
+∇²f·v = Aᵀ(w∘(Av))/m (weighted GLM Hessian) and every GGN-CG iteration
+computes JᵀQJ·v = Aᵀ(d∘(Av)) with d = σ'·q·σ' (J = diag(link')·A for GLM
+models) — see scso_tpu.algorithms.steps. XLA lowers this as TWO separate
+(m×n) matmuls, reading A from HBM twice per CG iteration; at bench scale
+the matvec is bandwidth-bound, so A-traffic is the whole cost.
+
+The Pallas kernel tiles A by row blocks and keeps each tile in VMEM for
+both contractions:
+
+    per row-block b:  t_b = A_b · v          (MXU)
+                      u_b = w_b ∘ t_b        (VPU)
+                      acc += A_bᵀ · u_b      (MXU, accumulated in VMEM)
+
+— ONE HBM read of A per product, i.e. ~2× the speed of the XLA pair.
+The accumulator lives in a VMEM scratch across the sequential TPU grid
+and is written out once by the last program.
+
+Requires the full (n,) operand and accumulator in VMEM: n ≲ 3·10⁵ f32 and
+a (block_rows × n) tile ≲ a few MB. `fused_normal_matvec` picks block
+sizes automatically and raises if n is too large (callers fall back to
+the two-matmul jnp path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget for the A tile (bytes); v/w/acc are small next to it.
+_TILE_BYTES = 6 * 1024 * 1024
+_MAX_N = 1 << 18  # (n,) vectors above this blow the VMEM accumulator
+
+
+def _make_kernel(acc_dtype):
+    def _kernel(a_ref, w_ref, v_ref, out_ref, acc_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        a = a_ref[:]                                  # (BR, n) tile
+        t = jax.lax.dot_general(                      # A_b · v  → (BR, 1)
+            a, v_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        )
+        u = w_ref[:] * t                              # (BR, 1)
+        acc_ref[:] += jax.lax.dot_general(            # A_bᵀ · u → (n, 1)
+            a, u,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        )
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+    return _kernel
+
+
+def _pick_block_rows(m: int, n: int, itemsize: int) -> int:
+    br = max(8, _TILE_BYTES // max(1, n * itemsize))
+    br = min(br, m)
+    # round down to a multiple of 8 (f32 sublane tile)
+    return max(8, (br // 8) * 8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_normal_matvec(A, w, v, interpret=False):
+    m, n = A.shape
+    br = _pick_block_rows(m, n, A.dtype.itemsize)
+    pad = (-m) % br
+    if pad:
+        A = jnp.concatenate([A, jnp.zeros((pad, n), A.dtype)])
+        w = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)])
+    mp = m + pad
+    grid = mp // br
+    acc_dtype = jnp.float64 if A.dtype == jnp.float64 else jnp.float32
+
+    out = pl.pallas_call(
+        _make_kernel(acc_dtype),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((br, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 1), v.dtype),
+        scratch_shapes=[pltpu.VMEM((n, 1), acc_dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * mp * n,
+            bytes_accessed=mp * n * A.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(A, w.reshape(-1, 1), v.reshape(-1, 1))
+    return out.reshape(-1)
+
+
+def supports_fused_normal_matvec(m: int, n: int) -> bool:
+    """Static feasibility check for the fused kernel."""
+    return 0 < n <= _MAX_N and m >= 8 and n % 128 == 0
+
+
+def fused_normal_matvec(A, w, v):
+    """Aᵀ·(w ∘ (A·v)) in one pass over A.
+
+    Falls back to the two-matmul jnp expression when shapes don't fit the
+    kernel (huge n, tiny/ragged blocks) or off-TPU (interpret mode is used
+    on CPU so tests validate the kernel itself).
+    """
+    m, n = A.shape
+    if not supports_fused_normal_matvec(m, n):
+        return A.T @ (w * (A @ v))
+    interpret = jax.default_backend() != "tpu"
+    return _fused_normal_matvec(A, w, v, interpret=interpret)

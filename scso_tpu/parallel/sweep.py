@@ -72,6 +72,12 @@ def _batch_sharding(mesh: Optional[Mesh], batch_axis: str):
     return NamedSharding(mesh, P(batch_axis))
 
 
+def _xla_kernels(method):
+    """Force the XLA compute path under vmap (Pallas batching rules don't
+    cover the sequential-grid accumulator kernels)."""
+    return dataclasses.replace(method, kernels="xla")
+
+
 def sweep(method, prob: Problem, reg_name: str, sm, *,
           lam_grid=None, mu_grid=None, opts: Options = None,
           mesh: Optional[Mesh] = None, batch_axis: str = "batch",
@@ -89,6 +95,7 @@ def sweep(method, prob: Problem, reg_name: str, sm, *,
     Returns a :class:`SweepResult` with leading axis B.
     """
     opts = opts or Options()
+    method = _xla_kernels(method)
     if lam_grid is None and mu_grid is None:
         raise ValueError("provide lam_grid and/or mu_grid")
     B = None
@@ -138,6 +145,7 @@ def solve_fleet(method, probs: Problem, reg_name: str, sms, *,
     axis is sharded over `mesh[batch_axis]` when given.
     """
     opts = opts or Options()
+    method = _xla_kernels(method)
     if mesh is not None:
         sh = _batch_sharding(mesh, batch_axis)
         put = lambda a: (jax.device_put(a, sh) if hasattr(a, "ndim") and a.ndim >= 1

@@ -65,6 +65,13 @@ class Problem:
     grad_fy: Optional[Callable] = static_field(default=None)
     hess_fy: Optional[Callable] = static_field(default=None)
     hess_fy_diag: Optional[Callable] = static_field(default=None)  # scalable GGN
+    # GLM structure hooks for the fused Pallas normal-matvec path
+    # (ops/pallas/matvec.py): when f is a GLM over the design matrix A,
+    #   ∇²f(x)·v   = Aᵀ(hvp_w ∘ (A·v))   with hvp_w = hvp_w(As, ys, x)
+    #   JᵀQJ·v     = Aᵀ(ggn_w ∘ (A·v))   with ggn_w = ggn_w(As, ys, x)
+    # so one A-tile pass computes the whole CG matvec.
+    hvp_w: Optional[Callable] = static_field(default=None)
+    ggn_w: Optional[Callable] = static_field(default=None)
     name: Optional[str] = static_field(default=None)
     has_data: bool = static_field(default=False)
 
@@ -213,6 +220,8 @@ def make_problem(
     grad_fy=None,
     hess_fy=None,
     hess_fy_diag=None,
+    hvp_w=None,
+    ggn_w=None,
     name=None,
     dtype=None,
 ) -> Problem:
@@ -271,6 +280,8 @@ def make_problem(
         grad_fy=grad_fy,
         hess_fy=hess_fy,
         hess_fy_diag=hess_fy_diag,
+        hvp_w=hvp_w,
+        ggn_w=ggn_w,
         name=name,
         has_data=has_data,
     )

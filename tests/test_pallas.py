@@ -1,0 +1,171 @@
+"""Pallas kernel tests (interpret mode on the CPU backend).
+
+Validates the fused kernels bit-for-bit against the jnp/XLA reference
+paths: the single-pass normal-equation matvec (ops/pallas/matvec) and the
+fused damped-prox SCORE update (ops/pallas/score_update), both standalone
+and end-to-end through solves with kernels='pallas'.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import scso_tpu as scso
+from scso_tpu.models import losses, synthetic
+from scso_tpu.ops.pallas.matvec import (
+    fused_normal_matvec,
+    supports_fused_normal_matvec,
+)
+from scso_tpu.ops.pallas.score_update import fused_score_update
+from scso_tpu.ops.prox import prox_step
+from scso_tpu.ops.smoothers import get_Mg, phuber_grad, phuber_hess
+
+
+class TestFusedNormalMatvec:
+    @pytest.mark.parametrize("m,n", [(64, 128), (500, 256), (37, 128)])
+    def test_matches_two_matmuls(self, m, n):
+        rng = np.random.default_rng(0)
+        A = jnp.asarray(rng.standard_normal((m, n)))
+        w = jnp.asarray(rng.random(m))
+        v = jnp.asarray(rng.standard_normal(n))
+        got = fused_normal_matvec(A, w, v)
+        ref = A.T @ (w * (A @ v))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_fallback_on_ragged_n(self):
+        # n % 128 != 0 → falls back to the jnp path, still correct
+        rng = np.random.default_rng(1)
+        A = jnp.asarray(rng.standard_normal((64, 100)))
+        w = jnp.asarray(rng.random(64))
+        v = jnp.asarray(rng.standard_normal(100))
+        assert not supports_fused_normal_matvec(64, 100)
+        got = fused_normal_matvec(A, w, v)
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(A.T @ (w * (A @ v))))
+
+    def test_glm_weights_match_hvp(self):
+        """Aᵀ(hvp_w∘(Av)) must equal the AD Hessian-vector product."""
+        rng = np.random.default_rng(2)
+        m, n = 256, 128
+        A, y, x0, _ = synthetic.make_sparse_logreg_data(
+            m, n, density=0.3, n_active=8, seed=3, dtype=np.float64)
+        prob = scso.Problem(A, y, x0, losses.logistic_f, 0.1,
+                            dtype=np.float64)
+        x = jnp.asarray(rng.standard_normal(n))
+        v = jnp.asarray(rng.standard_normal(n))
+        w = losses.logistic_hvp_w(prob.A, prob.y, x)
+        got = fused_normal_matvec(prob.A, w, v)
+        ref = prob.hvp_f(prob.A, prob.y, x, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_glm_weights_match_ggn(self):
+        """Aᵀ(ggn_w∘(Av)) must equal Jᵀ(Q(Jv)) via jvp/vjp."""
+        rng = np.random.default_rng(4)
+        m, n = 256, 128
+        A, y01, x0, _ = synthetic.make_sparse_logreg_data(
+            m, n, density=0.3, n_active=8, seed=5, dtype=np.float64)
+        prob = scso.Problem(
+            A, y01, x0, losses.logistic_f, 0.1,
+            out_fn=losses.sigmoid_out,
+            grad_fy=losses.logistic_ggn_residual,
+            hess_fy_diag=losses.logistic_ggn_qdiag,
+            dtype=np.float64)
+        x = jnp.asarray(rng.standard_normal(n) * 0.1)
+        v = jnp.asarray(rng.standard_normal(n))
+        w = losses.logistic_ggn_w(prob.A, prob.y, x)
+        got = fused_normal_matvec(prob.A, w, v)
+        _, _, q = prob.ggn_residual_qdiag(prob.A, prob.y, x)
+        _, jt = prob.vjp_out(prob.A, x)
+        ref = jt(q * prob.jvp_out(prob.A, x, v))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-9, atol=1e-12)
+
+
+class TestFusedScoreUpdate:
+    @pytest.mark.parametrize("reg", ["l1", "l2", "indbox"])
+    def test_matches_jnp_tail(self, reg):
+        rng = np.random.default_rng(6)
+        n = 1000
+        x = jnp.asarray(rng.standard_normal(n))
+        d = jnp.asarray(rng.standard_normal(n))
+        mu, lam, ss = 0.8, 0.05, 0.5
+        lgr = lam * phuber_grad(x, mu)
+        hr = phuber_hess(x, mu)
+        Mg = get_Mg(2.0, 2.6, mu, n)
+        lb = jnp.full((n,), -0.4)
+        ub = jnp.full((n,), 0.4)
+
+        hinv = 1.0 / hr
+        eta = jnp.sqrt(jnp.sum(lgr * hinv * lgr))
+        safe = jnp.minimum(1.0, ss / (1.0 + Mg * eta))
+        xs = x + safe * d
+        ref = prox_step(reg, xs, hinv, lam, ss, lb=lb, ub=ub)
+        pri_ref = jnp.linalg.norm(ref - x)
+
+        got, pri, safe_got = fused_score_update(
+            x, d, lgr, hr, lam, ss, Mg, reg, lb=lb, ub=ub)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-14)
+        assert float(pri) == pytest.approx(float(pri_ref), abs=1e-12)
+        assert float(safe_got) == pytest.approx(float(safe), abs=1e-14)
+
+    def test_no_prox(self):
+        rng = np.random.default_rng(7)
+        n = 130  # ragged: exercises padding
+        x = jnp.asarray(rng.standard_normal(n))
+        d = jnp.asarray(rng.standard_normal(n))
+        lgr = 0.1 * phuber_grad(x, 1.0)
+        hr = phuber_hess(x, 1.0)
+        Mg = get_Mg(2.0, 2.6, 1.0, n)
+        got, pri, safe = fused_score_update(
+            x, d, lgr, hr, 0.1, 0.5, Mg, "l1", use_prox=False)
+        ref = x + safe * d
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-14)
+        assert float(pri) == pytest.approx(
+            float(jnp.linalg.norm(safe * d)), abs=1e-12)
+
+
+def make_glm_problem(m=64, n=128, seed=0):
+    A, y, x0, _ = synthetic.make_sparse_logreg_data(
+        m, n, density=0.3, n_active=8, seed=seed, dtype=np.float64)
+    return scso.Problem(
+        A, y, x0, losses.logistic_f, 1e-2,
+        grad_fx=losses.logistic_grad, hess_fx=losses.logistic_hess,
+        out_fn=losses.sigmoid_out,
+        grad_fy=losses.logistic_ggn_residual,
+        hess_fy_diag=losses.logistic_ggn_qdiag,
+        loss_fn=losses.logistic_loss_01,
+        hvp_w=losses.logistic_hvp_w, ggn_w=losses.logistic_ggn_w,
+        dtype=np.float64)
+
+
+class TestEndToEndPallas:
+    """Full solves with kernels='pallas' (interpret mode on CPU) must
+    match the XLA path to float64 precision."""
+
+    @pytest.mark.parametrize("method_xla,method_pal", [
+        (scso.ProxNSCORE(solver="cg", kernels="xla"),
+         scso.ProxNSCORE(solver="cg", kernels="pallas")),
+        (scso.ProxGGNSCORE(solver="cg", kernels="xla"),
+         scso.ProxGGNSCORE(solver="cg", kernels="pallas")),
+        (scso.ProxLQNSCORE(kernels="xla"),
+         scso.ProxLQNSCORE(kernels="pallas")),
+    ])
+    def test_solver_parity(self, method_xla, method_pal):
+        prob = make_glm_problem()
+        sm = scso.PHuberSmootherL1L2(1.0)
+        opts = dict(max_epoch=40, verbose=0)
+        s_ref = scso.iterate(method_xla, prob, "l1", sm, **opts)
+        s_pal = scso.iterate(method_pal, prob, "l1", sm, **opts)
+        np.testing.assert_allclose(s_pal.x, s_ref.x, atol=1e-9)
+        assert s_pal.epochs == s_ref.epochs
+
+    def test_auto_resolves_to_xla_on_cpu(self):
+        from scso_tpu.algorithms.iterate import _resolve_kernels
+        prob = make_glm_problem()
+        m = _resolve_kernels(scso.ProxNSCORE(), prob)
+        assert m.kernels == "xla"

@@ -135,7 +135,12 @@ def _damped_prox_update(method, prob: Problem, reg_name, sm, x, d,
         )
         return x_new, pri, safe_alpha * d
     hdiag_inv = 1.0 / Hr_diag
-    eta = jnp.sqrt(jnp.sum(lgr * hdiag_inv * lgr))
+    # η term: lgr²/Hr → 0 in the lgr→0 limit even when Hr = 0 (the GL
+    # smoother's Hessian vanishes exactly where its gradient does, e.g. at
+    # a fully-thresholded x = 0); the reference's expression 0·Inf NaNs
+    # there (prox-N-SCORE.jl:99) — deliberate fix.
+    eta_terms = jnp.where(lgr == 0, 0.0, lgr * hdiag_inv * lgr)
+    eta = jnp.sqrt(jnp.sum(eta_terms))
     alpha = step_size / (1.0 + Mg * eta)
     safe_alpha = jnp.minimum(1.0, alpha)
     dx = safe_alpha * d

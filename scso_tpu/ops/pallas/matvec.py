@@ -33,8 +33,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget for the A tile (bytes); v/w/acc are small next to it.
-_TILE_BYTES = 6 * 1024 * 1024
+# VMEM budget for ONE A tile (bytes). Pallas double-buffers the streamed
+# tile (2× this) and the ~16 MB/core VMEM must also hold w/v/out/acc;
+# 4 MB tiles keep the total near 9 MB (a 6 MB tile OOMed at 16.32 MB).
+_TILE_BYTES = 4 * 1024 * 1024
 _MAX_N = 1 << 18  # (n,) vectors above this blow the VMEM accumulator
 
 

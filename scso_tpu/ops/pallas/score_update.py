@@ -50,7 +50,8 @@ def _make_kernel(reg: str, acc_dtype):
         def _():
             lgr = lgr_ref[:].astype(acc_dtype)
             hr = hr_ref[:].astype(acc_dtype)
-            acc_ref[0] += jnp.sum(lgr * lgr / hr)
+            # lgr²/hr → 0 when lgr = 0 even at hr = 0 (see steps.py η fix)
+            acc_ref[0] += jnp.sum(jnp.where(lgr == 0, 0.0, lgr * lgr / hr))
 
         @pl.when(ph == 1)
         def _():

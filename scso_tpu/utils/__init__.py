@@ -1,0 +1,25 @@
+"""General utilities: metrics, data slicing, checkpointing, profiling.
+
+Parity layer for the reference's `src/utils/utils.jl` plus the auxiliary
+subsystems the TPU build adds (SURVEY.md §5): solver-state
+checkpoint/resume and `jax.profiler` phase tracing.
+"""
+
+from scso_tpu.utils.metrics import mean_square_error, slice_data, batch_iter
+from scso_tpu.utils.checkpoint import (
+    load_state,
+    save_state,
+    solution_to_state,
+)
+from scso_tpu.utils.profiling import trace_phase, profile_to
+
+__all__ = [
+    "mean_square_error",
+    "slice_data",
+    "batch_iter",
+    "save_state",
+    "load_state",
+    "solution_to_state",
+    "trace_phase",
+    "profile_to",
+]

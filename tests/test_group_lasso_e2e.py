@@ -1,0 +1,144 @@
+"""End-to-end sparse-group-lasso solves (BASELINE config 3).
+
+The reference never tests 'gl' end-to-end (SURVEY.md §4 "Untested");
+these tests cover its README sparse-group-lasso example
+(README.md:190-246) with the exact example configuration: m=50, n=100,
+grpsize=10, corr=0.5, λ=[1e-8, 1], μ=1e-2, α=1, ProxLQNSCORE (the
+README's method) and ProxGGNSCORE (its documented alternative).
+ProxNSCORE is NOT usable here — with λ1=1e-8 the Newton system
+H + λ1·diag(Hr) is singular for n > m, in ours and the reference alike.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import scso_tpu as scso
+from scso_tpu.models import losses, synthetic
+from scso_tpu.ops.groups import group_norms
+
+
+def make_gl_problem(lam=(1e-8, 1.0)):
+    A, y, x_true, x0, groups = synthetic.make_group_lasso_problem(
+        50, 100, 10, p_active=0.1, noise_std=0.1, seed=1234, corr=0.5,
+        dtype=np.float64)
+    prob = scso.Problem(
+        A, y, x0, losses.lsq_f, list(lam),
+        grad_fx=losses.lsq_grad, hess_fx=losses.lsq_hess,
+        out_fn=losses.linear_out, loss_fn=losses.lsq_loss,
+        grad_fy=losses.lsq_ggn_residual,
+        hess_fy_diag=losses.lsq_ggn_qdiag,
+        sol=x_true, groups=groups, dtype=np.float64)
+    return prob, x_true, groups
+
+
+class TestGroupLassoE2E:
+    def test_lbfgs_readme_config(self):
+        """The README's own method/options (README.md:227-229)."""
+        prob, x_true, _ = make_gl_problem()
+        sm = scso.PHuberSmootherGL(1e-2, prob)
+        sol = scso.iterate(scso.ProxLQNSCORE(use_prox=True, ss_type=1, m=10),
+                           prob, "gl", sm, alpha=1.0, max_epoch=100,
+                           verbose=0)
+        mse0 = float(np.mean((np.asarray(prob.x0) - x_true) ** 2))
+        assert sol.rel[-1] < 0.2 * mse0  # ~0.97 → ~0.14 in practice
+
+    def test_ggn_variant(self):
+        """README's ProxGGNSCORE variant (README.md:231-243)."""
+        prob, x_true, _ = make_gl_problem()
+        sm = scso.PHuberSmootherGL(1e-2, prob)
+        sol = scso.iterate(scso.ProxGGNSCORE(), prob, "gl", sm, alpha=1.0,
+                           max_epoch=100, verbose=0)
+        mse0 = float(np.mean((np.asarray(prob.x0) - x_true) ** 2))
+        assert sol.rel[-1] < 0.3 * mse0
+
+    def test_osba_gl_smoother(self):
+        prob, x_true, _ = make_gl_problem()
+        sm = scso.OsBaSmootherGL(1e-2, prob)
+        sol = scso.iterate(scso.ProxLQNSCORE(), prob, "gl", sm, alpha=1.0,
+                           max_epoch=100, verbose=0)
+        mse0 = float(np.mean((np.asarray(prob.x0) - x_true) ** 2))
+        assert sol.rel[-1] < 0.5 * mse0
+
+    def test_heavy_penalty_no_nan(self):
+        """Regression: at fully-thresholded coordinates the GL smoother
+        has Hr = 0 AND ∇g_s = 0, and the reference's η expression NaNs
+        via 0·Inf (prox-N-SCORE.jl:99). Our η fix must keep the solve
+        finite under heavy penalties."""
+        prob, _, _ = make_gl_problem(lam=(0.5, 1.0))
+        sm = scso.PHuberSmootherGL(1.0, prob)
+        sol = scso.iterate(scso.ProxLQNSCORE(), prob, "gl", sm, alpha=1.0,
+                           max_epoch=50, verbose=0)
+        assert np.all(np.isfinite(sol.x))
+        assert np.all(np.isfinite(sol.obj))
+
+    def test_lambda_path_sweep_gl(self):
+        """Regularization path over λ2 via the vmapped sweep (the
+        reference re-calls iterate! per λ, README.md:217-246)."""
+        from scso_tpu.parallel import sweep
+
+        prob, _, groups = make_gl_problem()
+        sm = scso.PHuberSmootherGL(1e-2, prob)
+        lam2s = np.array([0.1, 1.0, 5.0, 20.0])
+        lam_grid = np.stack([np.full_like(lam2s, 1e-8), lam2s], axis=1)
+        res = sweep(scso.ProxLQNSCORE(), prob, "gl", sm,
+                    lam_grid=lam_grid,
+                    opts=scso.Options(max_epoch=100, verbose=0))
+        assert res.batch_size == 4
+        assert np.all(np.isfinite(res.obj))
+        # heavier group penalty → smaller total group norm
+        gn = [float(np.sum(np.asarray(
+            group_norms(groups, jnp.asarray(res.x[i]))))) for i in range(4)]
+        assert gn[-1] < gn[0]
+
+
+class TestUtils:
+    def test_mse(self):
+        from scso_tpu.utils import mean_square_error
+        assert float(mean_square_error([1.0, 2.0], [1.0, 4.0])) == 2.0
+
+    def test_batch_iter(self):
+        from scso_tpu.utils import batch_iter, slice_data
+        A = np.arange(20, dtype=np.float64).reshape(10, 2)
+        y = np.arange(10, dtype=np.float64)
+        batches = list(batch_iter(A, y, 3, shuffle=False))
+        assert len(batches) == 3
+        assert batches[0][0].shape == (3, 2)
+        a1, y1 = slice_data(A, y, 4)
+        assert a1.shape == (1, 2) and y1[0] == 4.0
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from scso_tpu.utils import load_state, save_state
+        from scso_tpu.ops.lbfgs_core import init_memory
+
+        mem = init_memory(8, 4, np.float64)
+        p = str(tmp_path / "state.npz")
+        save_state(p, mem._asdict())
+        loaded = load_state(p, template=mem._asdict())
+        np.testing.assert_array_equal(loaded["S"], np.zeros((4, 8)))
+        assert loaded["H0"] == 1.0
+
+    def test_warm_start_resume(self, tmp_path):
+        """Interrupt a solve, checkpoint, resume — matches straight-through
+        (Newton is memoryless across epochs)."""
+        from scso_tpu.utils import save_state, load_state
+        from scso_tpu._src.struct import replace as dc_replace
+        from scso_tpu.models import synthetic as syn
+
+        A, y, x0, _ = syn.make_sparse_logreg_data(
+            64, 16, density=0.3, n_active=4, seed=0, dtype=np.float64)
+        prob = scso.Problem(A, y, x0, losses.logistic_f, 1e-2,
+                            grad_fx=losses.logistic_grad,
+                            hess_fx=losses.logistic_hess, dtype=np.float64)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        meth = scso.ProxNSCORE()
+        full = scso.iterate(meth, prob, "l1", sm, max_epoch=60, verbose=0)
+
+        part = scso.iterate(meth, prob, "l1", sm, max_epoch=30, verbose=0)
+        p = str(tmp_path / "ck.npz")
+        save_state(p, {"x": part.x})
+        x_resumed = load_state(p, template={"x": part.x})["x"]
+        resumed = scso.iterate(
+            meth, dc_replace(prob, x0=jnp.asarray(x_resumed)), "l1", sm,
+            max_epoch=30, verbose=0)
+        np.testing.assert_allclose(resumed.x, full.x, atol=1e-8)

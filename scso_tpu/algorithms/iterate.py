@@ -110,6 +110,14 @@ class Solution:
     model: Problem
     cg_info: Optional[dict] = None
 
+    def __repr__(self):
+        # compact — the reference silences Solution printing entirely
+        # (iterate.jl:34-35); we show a one-line summary instead
+        obj = self.obj[-1] if len(self.obj) else float("nan")
+        rel = self.rel[-1] if len(self.rel) else float("nan")
+        return (f"Solution(epochs={self.epochs}, obj={obj:.6e}, "
+                f"rel={rel:.3e}, n={np.asarray(self.x).shape[-1]})")
+
 
 # ---------------------------------------------------------------------------
 # Stats (one record)

@@ -84,6 +84,7 @@ class Carry(NamedTuple):
     x_prev: jax.Array
     gq: jax.Array
     gq_prev: jax.Array
+    d_prev: jax.Array   # previous raw direction — CG warm start seed
     k: jax.Array
     pri_res: jax.Array
     done: jax.Array
@@ -280,13 +281,14 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
     def composite_grad(As, ys, x):
         return prob.grad_f(As, ys, x) + lam * sm.grad(x, cw)
 
-    def do_step(As, ys, x, x_prev, gq, gq_prev, it, mem) -> StepOut:
+    def do_step(As, ys, x, x_prev, gq, gq_prev, it, mem,
+                d_prev) -> StepOut:
         if isinstance(method, ProxNSCORE):
             return newton_step(method, prob, reg_name, sm, As, ys, x,
-                               x_prev, gq_prev, it, mem)
+                               x_prev, gq_prev, it, mem, d_prev=d_prev)
         if isinstance(method, ProxGGNSCORE):
             return ggn_step(method, prob, reg_name, sm, As, ys, x,
-                            x_prev, gq_prev, it, mem)
+                            x_prev, gq_prev, it, mem, d_prev=d_prev)
         return lbfgs_step(method, prob, reg_name, sm, As, ys, x, x_prev,
                           gq_prev, it, mem,
                           gq_cached=gq if cache_grads else None)
@@ -296,6 +298,7 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
 
     carry0 = Carry(
         x=prob.x0, x_prev=prob.x0, gq=gq0, gq_prev=jnp.zeros_like(prob.x0),
+        d_prev=jnp.zeros_like(prob.x0),
         k=jnp.int32(0), pri_res=jnp.asarray(jnp.nan, dt),
         done=jnp.asarray(False), mem=mem0, hist=hist0,
         key=jax.random.PRNGKey(rng_seed),
@@ -311,10 +314,11 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
 
         if batching is None:
             out = do_step(prob.A, prob.y, carry.x, carry.x_prev,
-                          carry.gq, carry.gq_prev, it, carry.mem)
+                          carry.gq, carry.gq_prev, it, carry.mem,
+                          carry.d_prev)
             x, x_prev = out.x_new, carry.x
             gq, gq_prev = out.gq_new, out.gq
-            pri, mem = out.pri_res_norm, out.mem
+            pri, mem, d_prev = out.pri_res_norm, out.mem, out.d
             key = carry.key
         else:
             nb, bs = batching
@@ -328,18 +332,19 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
             yb = prob.y[perm][: nb * bs].reshape(nb, bs, *prob.y.shape[1:])
 
             def scan_body(sc, batch):
-                x, x_prev, gq, gq_prev, pri, done, mem = sc
+                x, x_prev, gq, gq_prev, d_prev, pri, done, mem = sc
                 As, ys = batch
 
                 def live(_):
-                    out = do_step(As, ys, x, x_prev, gq, gq_prev, it, mem)
+                    out = do_step(As, ys, x, x_prev, gq, gq_prev, it, mem,
+                                  d_prev)
                     conv = (
                         (jnp.linalg.norm(out.x_new - x)
                          < x_tol * jnp.maximum(jnp.linalg.norm(x), 1.0))
                         | (raw_frel <= f_tol)
                         | (out.pri_res_norm < x_tol)
                     )
-                    return (out.x_new, x, out.gq_new, out.gq,
+                    return (out.x_new, x, out.gq_new, out.gq, out.d,
                             out.pri_res_norm, conv, out.mem)
 
                 def frozen(_):
@@ -347,10 +352,10 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
 
                 return lax.cond(done, frozen, live, None), None
 
-            (x, x_prev, gq, gq_prev, pri, done_in, mem), _ = lax.scan(
+            (x, x_prev, gq, gq_prev, d_prev, pri, done_in, mem), _ = lax.scan(
                 scan_body,
                 (carry.x, carry.x_prev, carry.gq, carry.gq_prev,
-                 carry.pri_res, carry.done, carry.mem),
+                 carry.d_prev, carry.pri_res, carry.done, carry.mem),
                 (Ab, yb),
             )
 
@@ -368,8 +373,8 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
                 k=carry.k, o=obj, f=fval, r=rel,
             )
         return Carry(x=x, x_prev=x_prev, gq=gq, gq_prev=gq_prev,
-                     k=carry.k + 1, pri_res=pri, done=conv, mem=mem,
-                     hist=hist, key=key)
+                     d_prev=d_prev, k=carry.k + 1, pri_res=pri, done=conv,
+                     mem=mem, hist=hist, key=key)
 
     def cond(carry: Carry):
         return (~carry.done) & (carry.k < max_epoch)
@@ -449,13 +454,13 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
     cw = _cw(prob, reg_name)
 
     @jax.jit
-    def step_fn(x, x_prev, gq, gq_prev, it, mem):
+    def step_fn(x, x_prev, gq, gq_prev, it, mem, d_prev):
         if isinstance(method, ProxNSCORE):
             return newton_step(method, prob, reg_name, sm, prob.A, prob.y,
-                               x, x_prev, gq_prev, it, mem)
+                               x, x_prev, gq_prev, it, mem, d_prev=d_prev)
         if isinstance(method, ProxGGNSCORE):
             return ggn_step(method, prob, reg_name, sm, prob.A, prob.y,
-                            x, x_prev, gq_prev, it, mem)
+                            x, x_prev, gq_prev, it, mem, d_prev=d_prev)
         return lbfgs_step(method, prob, reg_name, sm, prob.A, prob.y,
                           x, x_prev, gq_prev, it, mem,
                           gq_cached=gq if is_lbfgs else None)
@@ -468,6 +473,7 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
     x_prev = prob.x0
     gq = grad_fn(x) if is_lbfgs else jnp.zeros_like(x)
     gq_prev = jnp.zeros_like(x)
+    d_prev = jnp.zeros_like(x)
     pri = float("nan")
     recs = {k: [] for k in
             ("fval", "obj", "rel", "objrel", "prires", "fvaltest")}
@@ -498,9 +504,11 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
 
     for epoch_t in range(1, opts.max_epoch + 1):
         raw_frel = record(x, pri)
-        out = step_fn(x, x_prev, gq, gq_prev, jnp.int32(epoch_t), mem)
+        out = step_fn(x, x_prev, gq, gq_prev, jnp.int32(epoch_t), mem,
+                      d_prev)
         out = jax.block_until_ready(out)
         x_new = out.x_new
+        d_prev = out.d
         pri = float(out.pri_res_norm)
         conv = (
             float(jnp.linalg.norm(x_new - x))

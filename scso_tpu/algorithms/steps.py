@@ -51,6 +51,7 @@ class StepOut(NamedTuple):
     gq: jax.Array       # ∇q at x (composite gradient), for BB caching
     gq_new: jax.Array   # ∇q at x_new (L-BFGS only; zeros otherwise)
     mem: LBFGSMemory
+    d: jax.Array        # raw (undamped) direction — CG warm start seed
 
 
 def _lam_scalar(lam):
@@ -163,11 +164,15 @@ def _damped_prox_update(method, prob: Problem, reg_name, sm, x, d,
 
 
 def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
-                As, ys, x, x_prev, gq_prev, it, mem: LBFGSMemory) -> StepOut:
+                As, ys, x, x_prev, gq_prev, it, mem: LBFGSMemory,
+                d_prev=None) -> StepOut:
     """Full (quasi-)Newton step with self-concordant damping.
 
     Direction: d = −(∇²f + λ·diag(Hr))⁻¹ (∇f + λ·gr)
     — dense solve (prox-N-SCORE.jl:69-71) or matrix-free Newton-CG.
+    ``d_prev`` (the previous epoch's direction) warm-starts CG: near
+    convergence consecutive Newton systems barely change, so the previous
+    solution is an excellent initial guess.
     """
     lam = _lam_scalar(prob.lam)
     cw = _cw(prob, reg_name)
@@ -193,8 +198,9 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
         else:
             mv = lambda v: prob.hvp_f(As, ys, x, v) + lhr * v
         M_inv = lambda v: v / jnp.maximum(lhr, jnp.finfo(x.dtype).tiny)
-        d = -cg_solve(mv, gq, tol=method.cg_tol, maxiter=method.cg_maxiter,
-                      M_inv=M_inv).x
+        x0_cg = None if d_prev is None else -d_prev
+        d = -cg_solve(mv, gq, x0_cg, tol=method.cg_tol,
+                      maxiter=method.cg_maxiter, M_inv=M_inv).x
     else:
         raise ValueError(f"unknown ProxNSCORE solver {method.solver!r}")
 
@@ -209,7 +215,7 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
     x_new, pri, dx = _damped_prox_update(
         method, prob, reg_name, sm, x, d, ss, lam, lgr, Hr_diag
     )
-    return StepOut(x_new, pri, dx, gq, jnp.zeros_like(x), mem)
+    return StepOut(x_new, pri, dx, gq, jnp.zeros_like(x), mem, d)
 
 
 # ---------------------------------------------------------------------------
@@ -253,7 +259,8 @@ def _ggn_dense_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam):
     return -d
 
 
-def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam):
+def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
+                      d_prev=None):
     """Matrix-free GGN-CG direction (the scalable TPU path).
 
     Solves the primal system (JᵀQJ + λ·diag(Hr)) d = −(Jᵀr + λ·gr) with
@@ -277,12 +284,13 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam):
             return jt(q_diag * prob.jvp_out(As, x, v)) + lhr * v
 
     M_inv = lambda v: v / jnp.maximum(lhr, jnp.finfo(x.dtype).tiny)
-    return cg_solve(mv, b, tol=method.cg_tol, maxiter=method.cg_maxiter,
-                    M_inv=M_inv).x
+    return cg_solve(mv, b, d_prev, tol=method.cg_tol,
+                    maxiter=method.cg_maxiter, M_inv=M_inv).x
 
 
 def ggn_step(method: ProxGGNSCORE, prob: Problem, reg_name: str, sm,
-             As, ys, x, x_prev, gq_prev, it, mem: LBFGSMemory) -> StepOut:
+             As, ys, x, x_prev, gq_prev, it, mem: LBFGSMemory,
+             d_prev=None) -> StepOut:
     """Generalized Gauss-Newton step with self-concordant damping."""
     lam = _lam_scalar(prob.lam)
     cw = _cw(prob, reg_name)
@@ -291,7 +299,8 @@ def ggn_step(method: ProxGGNSCORE, prob: Problem, reg_name: str, sm,
     Hr_diag = sm.hess_diag(x, cw)
 
     if method.solver == "cg":
-        d = _ggn_cg_direction(method, prob, As, ys, x, gr, Hr_diag, lam)
+        d = _ggn_cg_direction(method, prob, As, ys, x, gr, Hr_diag, lam,
+                              d_prev)
     else:
         d = _ggn_dense_direction(method, prob, As, ys, x, gr, Hr_diag, lam)
 
@@ -308,7 +317,7 @@ def ggn_step(method: ProxGGNSCORE, prob: Problem, reg_name: str, sm,
     x_new, pri, dx = _damped_prox_update(
         method, prob, reg_name, sm, x, d, ss, lam, lgr, Hr_diag
     )
-    return StepOut(x_new, pri, dx, gq, jnp.zeros_like(x), mem)
+    return StepOut(x_new, pri, dx, gq, jnp.zeros_like(x), mem, d)
 
 
 # ---------------------------------------------------------------------------
@@ -318,7 +327,7 @@ def ggn_step(method: ProxGGNSCORE, prob: Problem, reg_name: str, sm,
 
 def lbfgs_step(method: ProxLQNSCORE, prob: Problem, reg_name: str, sm,
                As, ys, x, x_prev, gq_prev, it, mem: LBFGSMemory,
-               gq_cached=None) -> StepOut:
+               gq_cached=None, d_prev=None) -> StepOut:
     """L-BFGS step with self-concordant damping.
 
     Direction from the two-loop recursion on the composite gradient
@@ -356,7 +365,7 @@ def lbfgs_step(method: ProxLQNSCORE, prob: Problem, reg_name: str, sm,
     gq_new = prob.grad_f(As, ys, x_new) + lam * sm.grad(x_new, cw)
     gamma = gq_new - gq
     mem = update_memory(mem, delta, gamma)
-    return StepOut(x_new, pri, dx, gq, gq_new, mem)
+    return StepOut(x_new, pri, dx, gq, gq_new, mem, d)
 
 
 def make_step_fn(method):

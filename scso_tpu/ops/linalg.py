@@ -53,8 +53,6 @@ def cg_solve(
         smoother-Hessian diagonal — a natural Jacobi preconditioner for
         the SCORE GGN system).
     """
-    if x0 is None:
-        x0 = jnp.zeros_like(b)
     if M_inv is None:
         M_inv = lambda v: v
 
@@ -62,7 +60,12 @@ def cg_solve(
     b_norm_sq = jnp.vdot(b, b).real.astype(dt)
     atol_sq = (tol * tol) * b_norm_sq
 
-    r0 = b - matvec(x0)
+    if x0 is None:
+        # zero initial guess: r0 = b, no matvec spent
+        x0 = jnp.zeros_like(b)
+        r0 = b
+    else:
+        r0 = b - matvec(x0)
     z0 = M_inv(r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0).real.astype(dt)

@@ -39,6 +39,7 @@ from scso_tpu.ops.pallas.score_update import (
     fused_score_update,
     supports_fused_update,
 )
+from scso_tpu.ops.pallas.two_loop import fused_two_loop
 from scso_tpu.ops.prox import prox_step
 from scso_tpu.ops.smoothers import get_Mg
 from scso_tpu.problems import Problem
@@ -351,7 +352,10 @@ def lbfgs_step(method: ProxLQNSCORE, prob: Problem, reg_name: str, sm,
     else:
         gq = prob.grad_f(As, ys, x) + lgr
 
-    d = two_loop(mem, gq)
+    if method.kernels == "pallas":
+        d = fused_two_loop(mem, gq)
+    else:
+        d = two_loop(mem, gq)
 
     ss = _resolve_step_size(method, prob, sm, reg_name, As, ys,
                             x, x_prev, gq, gq_prev, d, it, cw)

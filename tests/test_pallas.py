@@ -169,3 +169,34 @@ class TestEndToEndPallas:
         prob = make_glm_problem()
         m = _resolve_kernels(scso.ProxNSCORE(), prob)
         assert m.kernels == "xla"
+
+
+class TestFusedTwoLoop:
+    def test_matches_scan_two_loop(self):
+        from scso_tpu.ops.lbfgs_core import init_memory, two_loop, update_memory
+        from scso_tpu.ops.pallas.two_loop import fused_two_loop
+
+        rng = np.random.default_rng(8)
+        n, m = 300, 5
+        mem = init_memory(n, m, np.float64)
+        # push 7 pairs (wraps the circular buffer)
+        for i in range(7):
+            delta = jnp.asarray(rng.standard_normal(n) * 0.1)
+            gamma = delta * (1.0 + 0.1 * i) + 0.01 * jnp.asarray(
+                rng.standard_normal(n))
+            mem = update_memory(mem, delta, gamma)
+        g = jnp.asarray(rng.standard_normal(n))
+        ref = two_loop(mem, g)
+        got = fused_two_loop(mem, g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_empty_memory(self):
+        from scso_tpu.ops.lbfgs_core import init_memory
+        from scso_tpu.ops.pallas.two_loop import fused_two_loop
+
+        mem = init_memory(64, 10, np.float64)
+        g = jnp.asarray(np.random.default_rng(9).standard_normal(64))
+        got = fused_two_loop(mem, g)
+        np.testing.assert_allclose(np.asarray(got), -np.asarray(g),
+                                   atol=1e-15)

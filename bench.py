@@ -84,19 +84,21 @@ def main():
     gap = float(sol.objrel[-1])
 
     # --- GGN-CG step latency ---------------------------------------------
+    # NOTE: prob must be a jit ARGUMENT — closing over it bakes the 2 GiB
+    # data matrix into the HLO as a constant and chokes compilation.
     mem = init_memory(N, 1, np.float32)
 
     @jax.jit
-    def step(x):
-        return ggn_step(method, prob, "l1", sm, prob.A, prob.y, x, x,
+    def step(p, x):
+        return ggn_step(method, p, "l1", sm, p.A, p.y, x, x,
                         jnp.zeros_like(x), jnp.int32(2), mem).x_new
 
     x = jnp.asarray(prob.x0)
-    jax.block_until_ready(step(x))
+    jax.block_until_ready(step(prob, x))
     n_rep = 10
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        x = step(x)
+        x = step(prob, x)
     jax.block_until_ready(x)
     ms_per_step = (time.perf_counter() - t0) / n_rep * 1e3
 

@@ -446,32 +446,34 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
         reg_name, prob.x_star
     )
 
+    # prob is always a jit ARGUMENT below: closing over it would bake the
+    # data matrix into the HLO as a constant (GBs shipped to the compiler)
     @jax.jit
-    def stats_fn(x):
-        return _stats(prob, reg_name, x, obj_star, opts.x_tol, opts.f_tol, ())
+    def stats_fn(p, x):
+        return _stats(p, reg_name, x, obj_star, opts.x_tol, opts.f_tol, ())
 
     lam = _lam_scalar(prob.lam)
     cw = _cw(prob, reg_name)
 
     @jax.jit
-    def step_fn(x, x_prev, gq, gq_prev, it, mem, d_prev):
+    def step_fn(p, x, x_prev, gq, gq_prev, it, mem, d_prev):
         if isinstance(method, ProxNSCORE):
-            return newton_step(method, prob, reg_name, sm, prob.A, prob.y,
+            return newton_step(method, p, reg_name, sm, p.A, p.y,
                                x, x_prev, gq_prev, it, mem, d_prev=d_prev)
         if isinstance(method, ProxGGNSCORE):
-            return ggn_step(method, prob, reg_name, sm, prob.A, prob.y,
+            return ggn_step(method, p, reg_name, sm, p.A, p.y,
                             x, x_prev, gq_prev, it, mem, d_prev=d_prev)
-        return lbfgs_step(method, prob, reg_name, sm, prob.A, prob.y,
+        return lbfgs_step(method, p, reg_name, sm, p.A, p.y,
                           x, x_prev, gq_prev, it, mem,
                           gq_cached=gq if is_lbfgs else None)
 
     @jax.jit
-    def grad_fn(x):
-        return prob.grad_f(prob.A, prob.y, x) + lam * sm.grad(x, cw)
+    def grad_fn(p, x):
+        return p.grad_f(p.A, p.y, x) + lam * sm.grad(x, cw)
 
     x = prob.x0
     x_prev = prob.x0
-    gq = grad_fn(x) if is_lbfgs else jnp.zeros_like(x)
+    gq = grad_fn(prob, x) if is_lbfgs else jnp.zeros_like(x)
     gq_prev = jnp.zeros_like(x)
     d_prev = jnp.zeros_like(x)
     pri = float("nan")
@@ -485,7 +487,7 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
 
     def record(xc, pri_c):
         fval, obj, rel, objrel, raw_frel, ftst, _ = [
-            np.asarray(v) for v in stats_fn(xc)
+            np.asarray(v) for v in stats_fn(prob, xc)
         ]
         recs["fval"].append(float(fval))
         recs["obj"].append(float(obj))
@@ -504,8 +506,8 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
 
     for epoch_t in range(1, opts.max_epoch + 1):
         raw_frel = record(x, pri)
-        out = step_fn(x, x_prev, gq, gq_prev, jnp.int32(epoch_t), mem,
-                      d_prev)
+        out = step_fn(prob, x, x_prev, gq, gq_prev, jnp.int32(epoch_t),
+                      mem, d_prev)
         out = jax.block_until_ready(out)
         x_new = out.x_new
         d_prev = out.d

@@ -116,13 +116,16 @@ def sweep(method, prob: Problem, reg_name: str, sm, *,
         lam_grid = jax.device_put(lam_grid, sh)
         mu_grid = jax.device_put(mu_grid, sh)
 
-    def run_one(lam, mu):
-        p = dc_replace(prob, lam=lam)
-        s = dc_replace(sm, mu=mu)
+    # prob/sm enter through jit as ARGUMENTS (vmap in_axes=None), never as
+    # captured constants — a closed-over data matrix would be baked into
+    # the HLO and shipped to the compiler byte-for-byte
+    def run_one(lam, mu, p, s):
+        p = dc_replace(p, lam=lam)
+        s = dc_replace(s, mu=mu)
         return _solve_fused_impl(method, p, reg_name, s, opts, (), rng_seed)
 
-    fn = jax.jit(jax.vmap(run_one))
-    carry = jax.block_until_ready(fn(lam_grid, mu_grid))
+    fn = jax.jit(jax.vmap(run_one, in_axes=(0, 0, None, None)))
+    carry = jax.block_until_ready(fn(lam_grid, mu_grid, prob, sm))
     return _carry_to_result(carry)
 
 

@@ -44,16 +44,19 @@ SEED = 7
 
 
 def build_problem(sol=None):
+    # 0/1 labels: the coding the GGN cross-entropy pieces are derived for
+    # (the reference's ±1-into-0/1 quirk makes Q indefinite — losses.py)
     A, y, x0, _ = synthetic.make_sparse_logreg_data(
-        M, N, density=0.05, n_active=64, seed=SEED, dtype=np.float32)
+        M, N, density=0.05, n_active=64, seed=SEED, dtype=np.float32,
+        label01=True)
     return scso.Problem(
-        A, y, x0, losses.logistic_f, 0.01,
-        grad_fx=losses.logistic_grad,
+        A, y, x0, losses.logistic01_f, 0.01,
+        grad_fx=losses.logistic01_grad,
         out_fn=losses.sigmoid_out,
         grad_fy=losses.logistic_ggn_residual,
         hess_fy_diag=losses.logistic_ggn_qdiag,
         loss_fn=losses.logistic_loss_01,
-        hvp_w=losses.logistic_hvp_w,
+        hvp_w=losses.logistic01_hvp_w,
         ggn_w=losses.logistic_ggn_w,
         sol=sol,
         dtype=np.float32,

@@ -91,6 +91,39 @@ def logistic_hvp_w(A, y, x):
     return s * (1.0 - s) / A.shape[0]
 
 
+# ---------------------------------------------------------------------------
+# Logistic regression with 0/1 labels:
+#   f(A, y, x) = (1/m)·Σ [softplus(Ax) − y⊙(Ax)]  (cross-entropy in x)
+#
+# This is the coding the GGN pieces (logistic_loss_01 & friends) are
+# actually derived for. NOTE the reference feeds ±1 labels into the 0/1
+# cross-entropy when demonstrating GGN (test_algs.jl:10-11) — that makes
+# diag(Q) NEGATIVE wherever y = −1, i.e. an indefinite GGN matrix, and
+# diverges on any nontrivial data (it survives only the 5×2 fixture).
+# Use THIS family for GGN on real problems.
+# ---------------------------------------------------------------------------
+
+
+def logistic01_f(A, y, x):
+    z = A @ x
+    return jnp.mean(jax.nn.softplus(z) - y * z)
+
+
+def logistic01_grad(A, y, x):
+    return A.T @ (jax.nn.sigmoid(A @ x) - y) / A.shape[0]
+
+
+def logistic01_hess(A, y, x):
+    s = jax.nn.sigmoid(A @ x)
+    return (A.T * (s * (1.0 - s))) @ A / A.shape[0]
+
+
+def logistic01_hvp_w(A, y, x):
+    """w = σ'(Ax)/m — label-independent GLM Hessian weights."""
+    s = jax.nn.sigmoid(A @ x)
+    return s * (1.0 - s) / A.shape[0]
+
+
 def logistic_ggn_w(A, y, x):
     """GGN weights: JᵀQJ·v = Aᵀ(w∘(Av)), w = (ŷ(1−ŷ))²·diag(Q).
 

@@ -15,12 +15,15 @@ from scso_tpu.ops.groups import Groups, make_contiguous_groups
 
 def make_sparse_logreg_data(m: int, n: int, density: float = 0.01,
                             n_active: int = None, seed: int = 1234,
-                            dtype=np.float32):
-    """Random sparse-design logistic regression with ±1 labels.
+                            dtype=np.float32, label01: bool = False):
+    """Random sparse-design logistic regression data.
 
     Mirrors the README example (README.md:100-110): A ~ sprandn(m, n,
     density) densified, labels from a Bernoulli at a ground-truth x
-    (zeros by default, giving balanced random labels).
+    (zeros by default, giving balanced random labels). ``label01=False``
+    gives ±1 labels (pair with losses.logistic_*); ``label01=True`` gives
+    0/1 labels (pair with losses.logistic01_* — REQUIRED for GGN, see
+    losses.py).
 
     Returns (A, y, x0, x_true).
     """
@@ -37,7 +40,8 @@ def make_sparse_logreg_data(m: int, n: int, density: float = 0.01,
     else:
         x_true = np.zeros((n,), dtype=dtype)
     p = 1.0 / (1.0 + np.exp(-(A @ x_true)))
-    y = np.where(rng.random(m) < p, 1.0, -1.0).astype(dtype)
+    lo = 0.0 if label01 else -1.0
+    y = np.where(rng.random(m) < p, 1.0, lo).astype(dtype)
     x0 = rng.standard_normal(n).astype(dtype)
     return A, y, x0, x_true
 

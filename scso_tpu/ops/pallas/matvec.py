@@ -54,7 +54,7 @@ def _make_kernel(acc_dtype):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=acc_dtype,
         )
-        u = w_ref[:] * t                              # (BR, 1)
+        u = (w_ref[:] * t).astype(a.dtype)            # (BR, 1)
         acc_ref[:] += jax.lax.dot_general(            # A_bᵀ · u → (n, 1)
             a, u,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -78,6 +78,12 @@ def _pick_block_rows(m: int, n: int, itemsize: int) -> int:
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fused_normal_matvec(A, w, v, interpret=False):
     m, n = A.shape
+    out_dtype = v.dtype
+    # Low-precision A (bf16 storage halves HBM traffic): feed the MXU the
+    # narrow dtype, accumulate f32, return the operand dtype.
+    if A.dtype in (jnp.bfloat16, jnp.float16):
+        w = w.astype(A.dtype)
+        v = v.astype(A.dtype)
     br = _pick_block_rows(m, n, A.dtype.itemsize)
     pad = (-m) % br
     if pad:
@@ -97,7 +103,7 @@ def _fused_normal_matvec(A, w, v, interpret=False):
         ],
         out_specs=pl.BlockSpec((n, 1), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 1), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, 1), out_dtype),
         scratch_shapes=[pltpu.VMEM((n, 1), acc_dtype)],
         cost_estimate=pl.CostEstimate(
             flops=4 * mp * n,

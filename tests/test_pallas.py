@@ -130,16 +130,18 @@ class TestFusedScoreUpdate:
 
 
 def make_glm_problem(m=64, n=128, seed=0):
+    # 0/1 labels — the correct coding for the GGN cross-entropy pieces
     A, y, x0, _ = synthetic.make_sparse_logreg_data(
-        m, n, density=0.3, n_active=8, seed=seed, dtype=np.float64)
+        m, n, density=0.3, n_active=8, seed=seed, dtype=np.float64,
+        label01=True)
     return scso.Problem(
-        A, y, x0, losses.logistic_f, 1e-2,
-        grad_fx=losses.logistic_grad, hess_fx=losses.logistic_hess,
+        A, y, x0, losses.logistic01_f, 1e-2,
+        grad_fx=losses.logistic01_grad, hess_fx=losses.logistic01_hess,
         out_fn=losses.sigmoid_out,
         grad_fy=losses.logistic_ggn_residual,
         hess_fy_diag=losses.logistic_ggn_qdiag,
         loss_fn=losses.logistic_loss_01,
-        hvp_w=losses.logistic_hvp_w, ggn_w=losses.logistic_ggn_w,
+        hvp_w=losses.logistic01_hvp_w, ggn_w=losses.logistic_ggn_w,
         dtype=np.float64)
 
 
@@ -161,7 +163,7 @@ class TestEndToEndPallas:
         opts = dict(max_epoch=40, verbose=0)
         s_ref = scso.iterate(method_xla, prob, "l1", sm, **opts)
         s_pal = scso.iterate(method_pal, prob, "l1", sm, **opts)
-        np.testing.assert_allclose(s_pal.x, s_ref.x, atol=1e-9)
+        np.testing.assert_allclose(s_pal.x, s_ref.x, atol=1e-7)
         assert s_pal.epochs == s_ref.epochs
 
     def test_auto_resolves_to_xla_on_cpu(self):
@@ -200,3 +202,63 @@ class TestFusedTwoLoop:
         got = fused_two_loop(mem, g)
         np.testing.assert_allclose(np.asarray(got), -np.asarray(g),
                                    atol=1e-15)
+
+
+class TestMixedPrecision:
+    def test_bf16_matvec_coarse_accuracy(self):
+        from scso_tpu.ops.pallas.matvec import fused_normal_matvec
+
+        rng = np.random.default_rng(10)
+        m, n = 256, 128
+        A = rng.standard_normal((m, n)).astype(np.float32)
+        w = rng.random(m).astype(np.float32)
+        v = rng.standard_normal(n).astype(np.float32)
+        ref = A.T @ (w * (A @ v))
+        got = fused_normal_matvec(
+            jnp.asarray(A, jnp.bfloat16), jnp.asarray(w), jnp.asarray(v))
+        assert got.dtype == jnp.float32
+        rel = np.abs(np.asarray(got) - ref).max() / np.abs(ref).max()
+        assert rel < 0.05  # bf16 coarse accuracy
+
+    def test_iterate_mixed_reaches_tolerance(self):
+        from scso_tpu.algorithms.mixed import iterate_mixed
+
+        prob = make_glm_problem(m=128, n=128)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        ref = scso.iterate(scso.ProxGGNSCORE(solver="cg"), prob, "l1", sm,
+                           max_epoch=60, verbose=0)
+        mixed = iterate_mixed(scso.ProxGGNSCORE(solver="cg"), prob, "l1",
+                              sm, coarse_f_tol=1e-2, coarse_max_epoch=30,
+                              max_epoch=60, verbose=0)
+        # different trajectory (coarse start) → same minimum to ~1e-3
+        np.testing.assert_allclose(mixed.x, ref.x, atol=5e-3)
+        np.testing.assert_allclose(mixed.obj[-1], ref.obj[-1], rtol=1e-4)
+        assert mixed.cg_info["coarse_epochs"] >= 1
+
+    def test_iterate_mixed_generic_problem_passthrough(self):
+        from scso_tpu.algorithms.mixed import iterate_mixed
+
+        x0 = np.array([0.2, -0.5])
+        prob = scso.Problem(x0, losses.rosenbrock, 1e-8, dtype=np.float64)
+        sol = iterate_mixed(scso.ProxLQNSCORE(), prob, "l1",
+                            scso.PHuberSmootherL1L2(1.0), max_epoch=2000,
+                            verbose=0)
+        np.testing.assert_allclose(sol.x, [1.0, 1.0], atol=1e-3)
+
+
+class TestGGNConvergence:
+    def test_ggn_01_labels_matches_newton(self):
+        """Regression: GGN with the 0/1-label cross-entropy family must
+        CONVERGE (the ±1-label quirk gives an indefinite Q and diverges
+        on real data) and agree with Newton-CG on the same objective."""
+        prob = make_glm_problem(m=256, n=32)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        sn = scso.iterate(scso.ProxNSCORE(solver="cg"), prob, "l1", sm,
+                          max_epoch=100, verbose=0)
+        sg = scso.iterate(scso.ProxGGNSCORE(solver="cg"), prob, "l1", sm,
+                          max_epoch=100, verbose=0)
+        assert sg.obj[-1] <= sg.obj[0]  # monotone progress, no blow-up
+        # GGN and Newton approach the same minimum at different rates;
+        # within the epoch cap they agree to ~1e-3
+        np.testing.assert_allclose(sg.obj[-1], sn.obj[-1], rtol=1e-3)
+        np.testing.assert_allclose(sg.x, sn.x, atol=0.05)

@@ -85,6 +85,7 @@ class Carry(NamedTuple):
     gq: jax.Array
     gq_prev: jax.Array
     d_prev: jax.Array   # previous raw direction — CG warm start seed
+    cg_total: jax.Array  # cumulative CG iterations across all steps
     k: jax.Array
     pri_res: jax.Array
     done: jax.Array
@@ -298,7 +299,7 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
 
     carry0 = Carry(
         x=prob.x0, x_prev=prob.x0, gq=gq0, gq_prev=jnp.zeros_like(prob.x0),
-        d_prev=jnp.zeros_like(prob.x0),
+        d_prev=jnp.zeros_like(prob.x0), cg_total=jnp.int32(0),
         k=jnp.int32(0), pri_res=jnp.asarray(jnp.nan, dt),
         done=jnp.asarray(False), mem=mem0, hist=hist0,
         key=jax.random.PRNGKey(rng_seed),
@@ -319,6 +320,7 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
             x, x_prev = out.x_new, carry.x
             gq, gq_prev = out.gq_new, out.gq
             pri, mem, d_prev = out.pri_res_norm, out.mem, out.d
+            cg_total = carry.cg_total + out.cg_iters
             key = carry.key
         else:
             nb, bs = batching
@@ -332,7 +334,7 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
             yb = prob.y[perm][: nb * bs].reshape(nb, bs, *prob.y.shape[1:])
 
             def scan_body(sc, batch):
-                x, x_prev, gq, gq_prev, d_prev, pri, done, mem = sc
+                x, x_prev, gq, gq_prev, d_prev, cgt, pri, done, mem = sc
                 As, ys = batch
 
                 def live(_):
@@ -345,17 +347,20 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
                         | (out.pri_res_norm < x_tol)
                     )
                     return (out.x_new, x, out.gq_new, out.gq, out.d,
-                            out.pri_res_norm, conv, out.mem)
+                            cgt + out.cg_iters, out.pri_res_norm, conv,
+                            out.mem)
 
                 def frozen(_):
                     return sc
 
                 return lax.cond(done, frozen, live, None), None
 
-            (x, x_prev, gq, gq_prev, d_prev, pri, done_in, mem), _ = lax.scan(
+            (x, x_prev, gq, gq_prev, d_prev, cg_total, pri, done_in,
+             mem), _ = lax.scan(
                 scan_body,
                 (carry.x, carry.x_prev, carry.gq, carry.gq_prev,
-                 carry.d_prev, carry.pri_res, carry.done, carry.mem),
+                 carry.d_prev, carry.cg_total, carry.pri_res, carry.done,
+                 carry.mem),
                 (Ab, yb),
             )
 
@@ -373,8 +378,8 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
                 k=carry.k, o=obj, f=fval, r=rel,
             )
         return Carry(x=x, x_prev=x_prev, gq=gq, gq_prev=gq_prev,
-                     d_prev=d_prev, k=carry.k + 1, pri_res=pri, done=conv,
-                     mem=mem, hist=hist, key=key)
+                     d_prev=d_prev, cg_total=cg_total, k=carry.k + 1,
+                     pri_res=pri, done=conv, mem=mem, hist=hist, key=key)
 
     def cond(carry: Carry):
         return (~carry.done) & (carry.k < max_epoch)
@@ -409,6 +414,7 @@ def _to_solution(carry: Carry, prob: Problem, metric_names, total_time,
         if n_rec:
             times[-1] = total_time
     has_test = prob.Atest is not None and prob.ytest is not None
+    total_cg = int(carry.cg_total)
     return Solution(
         x=np.asarray(carry.x),
         obj=sl(carry.hist.obj),
@@ -421,6 +427,7 @@ def _to_solution(carry: Carry, prob: Problem, metric_names, total_time,
         times=np.asarray(times),
         epochs=int(carry.k),
         model=prob,
+        cg_info={"total_cg_iters": total_cg} if total_cg else None,
     )
 
 

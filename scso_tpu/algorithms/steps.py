@@ -53,6 +53,7 @@ class StepOut(NamedTuple):
     gq_new: jax.Array   # ∇q at x_new (L-BFGS only; zeros otherwise)
     mem: LBFGSMemory
     d: jax.Array        # raw (undamped) direction — CG warm start seed
+    cg_iters: jax.Array = None  # CG iterations spent (0 for dense/L-BFGS)
 
 
 def _lam_scalar(lam):
@@ -183,6 +184,7 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
 
     gq = prob.grad_f(As, ys, x) + lgr
 
+    cg_iters = jnp.int32(0)
     if method.solver == "dense":
         H = prob.hess_f(As, ys, x)
         d = -jnp.linalg.solve(H + lam * jnp.diag(Hr_diag), gq)
@@ -200,8 +202,10 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
             mv = lambda v: prob.hvp_f(As, ys, x, v) + lhr * v
         M_inv = lambda v: v / jnp.maximum(lhr, jnp.finfo(x.dtype).tiny)
         x0_cg = None if d_prev is None else -d_prev
-        d = -cg_solve(mv, gq, x0_cg, tol=method.cg_tol,
-                      maxiter=method.cg_maxiter, M_inv=M_inv).x
+        res = cg_solve(mv, gq, x0_cg, tol=method.cg_tol,
+                       maxiter=method.cg_maxiter, M_inv=M_inv)
+        d = -res.x
+        cg_iters = res.iters
     else:
         raise ValueError(f"unknown ProxNSCORE solver {method.solver!r}")
 
@@ -216,7 +220,7 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
     x_new, pri, dx = _damped_prox_update(
         method, prob, reg_name, sm, x, d, ss, lam, lgr, Hr_diag
     )
-    return StepOut(x_new, pri, dx, gq, jnp.zeros_like(x), mem, d)
+    return StepOut(x_new, pri, dx, gq, jnp.zeros_like(x), mem, d, cg_iters)
 
 
 # ---------------------------------------------------------------------------
@@ -285,8 +289,9 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
             return jt(q_diag * prob.jvp_out(As, x, v)) + lhr * v
 
     M_inv = lambda v: v / jnp.maximum(lhr, jnp.finfo(x.dtype).tiny)
-    return cg_solve(mv, b, d_prev, tol=method.cg_tol,
-                    maxiter=method.cg_maxiter, M_inv=M_inv).x
+    res = cg_solve(mv, b, d_prev, tol=method.cg_tol,
+                   maxiter=method.cg_maxiter, M_inv=M_inv)
+    return res.x, res.iters
 
 
 def ggn_step(method: ProxGGNSCORE, prob: Problem, reg_name: str, sm,
@@ -300,10 +305,11 @@ def ggn_step(method: ProxGGNSCORE, prob: Problem, reg_name: str, sm,
     Hr_diag = sm.hess_diag(x, cw)
 
     if method.solver == "cg":
-        d = _ggn_cg_direction(method, prob, As, ys, x, gr, Hr_diag, lam,
-                              d_prev)
+        d, cg_iters = _ggn_cg_direction(method, prob, As, ys, x, gr,
+                                        Hr_diag, lam, d_prev)
     else:
         d = _ggn_dense_direction(method, prob, As, ys, x, gr, Hr_diag, lam)
+        cg_iters = jnp.int32(0)
 
     # composite gradients only needed for BB (ss2); GGN never forms ∇f
     # otherwise (parity: prox-GGN-SCORE.jl:58-63 defines grad_f lazily)
@@ -318,7 +324,7 @@ def ggn_step(method: ProxGGNSCORE, prob: Problem, reg_name: str, sm,
     x_new, pri, dx = _damped_prox_update(
         method, prob, reg_name, sm, x, d, ss, lam, lgr, Hr_diag
     )
-    return StepOut(x_new, pri, dx, gq, jnp.zeros_like(x), mem, d)
+    return StepOut(x_new, pri, dx, gq, jnp.zeros_like(x), mem, d, cg_iters)
 
 
 # ---------------------------------------------------------------------------
@@ -369,7 +375,7 @@ def lbfgs_step(method: ProxLQNSCORE, prob: Problem, reg_name: str, sm,
     gq_new = prob.grad_f(As, ys, x_new) + lam * sm.grad(x_new, cw)
     gamma = gq_new - gq
     mem = update_memory(mem, delta, gamma)
-    return StepOut(x_new, pri, dx, gq, gq_new, mem, d)
+    return StepOut(x_new, pri, dx, gq, gq_new, mem, d, jnp.int32(0))
 
 
 def make_step_fn(method):

@@ -160,6 +160,42 @@ def _damped_prox_update(method, prob: Problem, reg_name, sm, x, d,
     return x_new, pri, dx
 
 
+def _cg_tol(method, dtype):
+    """Floor the CG tolerance at what the dtype can actually resolve —
+    asking f32 CG for 1e-8 relative residual just accumulates drift for
+    maxiter iterations (and can hand back a garbage direction)."""
+    return max(method.cg_tol, 25.0 * float(jnp.finfo(dtype).eps))
+
+
+def _glm_cg_system(method, prob: Problem, As, ys, x, lhr, weight_fn,
+                   hvp_fallback):
+    """(matvec, preconditioner) for the CG solve.
+
+    With GLM structure (weight_fn gives w s.t. H·v = Aᵀ(w∘(Av))):
+      * matvec: the fused single-pass Pallas kernel when available, else
+        the explicit two-matmul form (still beats jvp-of-grad's three
+        A passes);
+      * preconditioner: TRUE Jacobi 1/(diag(AᵀWA) + λ·Hr). Using only
+        λ·Hr (the reference-free naive choice) is catastrophic for small
+        λ — it rescales the system by 1/λ and CG diverges in f32.
+    Without GLM structure: jvp/vjp HVP + λ·Hr-only Jacobi.
+    """
+    tiny = jnp.finfo(x.dtype).tiny
+    if weight_fn is not None and prob.has_data and As.ndim == 2:
+        w = weight_fn(As, ys, x)
+        if (method.kernels == "pallas"
+                and supports_fused_normal_matvec(*As.shape)):
+            mv = lambda v: fused_normal_matvec(As, w, v) + lhr * v
+        else:
+            mv = lambda v: As.T @ (w * (As @ v)) + lhr * v
+        hdiag = jnp.einsum("i,ij,ij->j", w, As, As) + lhr
+        M_inv = lambda v: v / jnp.maximum(hdiag, tiny)
+    else:
+        mv = lambda v: hvp_fallback(v) + lhr * v
+        M_inv = lambda v: v / jnp.maximum(lhr, tiny)
+    return mv, M_inv
+
+
 # ---------------------------------------------------------------------------
 # Prox-Newton SCORE
 # ---------------------------------------------------------------------------
@@ -190,19 +226,11 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
         d = -jnp.linalg.solve(H + lam * jnp.diag(Hr_diag), gq)
     elif method.solver == "cg":
         lhr = lam * Hr_diag
-        if (method.kernels == "pallas" and prob.hvp_w is not None
-                and prob.has_data
-                and supports_fused_normal_matvec(*As.shape)):
-            # GLM fast path: precompute the Hessian weights once per solve,
-            # then every CG matvec is ONE fused pass over A
-            # (ops/pallas/matvec) instead of jvp-of-grad's three.
-            w = prob.hvp_w(As, ys, x)
-            mv = lambda v: fused_normal_matvec(As, w, v) + lhr * v
-        else:
-            mv = lambda v: prob.hvp_f(As, ys, x, v) + lhr * v
-        M_inv = lambda v: v / jnp.maximum(lhr, jnp.finfo(x.dtype).tiny)
+        mv, M_inv = _glm_cg_system(method, prob, As, ys, x, lhr,
+                                   prob.hvp_w,
+                                   lambda v: prob.hvp_f(As, ys, x, v))
         x0_cg = None if d_prev is None else -d_prev
-        res = cg_solve(mv, gq, x0_cg, tol=method.cg_tol,
+        res = cg_solve(mv, gq, x0_cg, tol=_cg_tol(method, x.dtype),
                        maxiter=method.cg_maxiter, M_inv=M_inv)
         d = -res.x
         cg_iters = res.iters
@@ -279,17 +307,10 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
     b = -(jt(residual) + lam * gr)
     lhr = lam * Hr_diag
 
-    if (method.kernels == "pallas" and prob.ggn_w is not None
-            and supports_fused_normal_matvec(*As.shape)):
-        # GLM fast path: JᵀQJ·v = Aᵀ(w∘(Av)) in one fused pass over A.
-        w = prob.ggn_w(As, ys, x)
-        mv = lambda v: fused_normal_matvec(As, w, v) + lhr * v
-    else:
-        def mv(v):
-            return jt(q_diag * prob.jvp_out(As, x, v)) + lhr * v
-
-    M_inv = lambda v: v / jnp.maximum(lhr, jnp.finfo(x.dtype).tiny)
-    res = cg_solve(mv, b, d_prev, tol=method.cg_tol,
+    mv, M_inv = _glm_cg_system(
+        method, prob, As, ys, x, lhr, prob.ggn_w,
+        lambda v: jt(q_diag * prob.jvp_out(As, x, v)))
+    res = cg_solve(mv, b, d_prev, tol=_cg_tol(method, x.dtype),
                    maxiter=method.cg_maxiter, M_inv=M_inv)
     return res.x, res.iters
 

@@ -48,13 +48,16 @@ def _make_kernel(acc_dtype):
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        a = a_ref[:]                                  # (BR, n) tile
+        # Tiles are STORED (and DMA'd) in the input dtype — for bf16 A
+        # that's the HBM-bandwidth win — and upcast in-register for the
+        # MXU (Mosaic rejects narrow-in/f32-acc matmuls: "Bad lhs type").
+        a = a_ref[:].astype(acc_dtype)                # (BR, n) tile
         t = jax.lax.dot_general(                      # A_b · v  → (BR, 1)
-            a, v_ref[:],
+            a, v_ref[:].astype(acc_dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=acc_dtype,
         )
-        u = (w_ref[:] * t).astype(a.dtype)            # (BR, 1)
+        u = w_ref[:].astype(acc_dtype) * t            # (BR, 1)
         acc_ref[:] += jax.lax.dot_general(            # A_bᵀ · u → (n, 1)
             a, u,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -79,11 +82,9 @@ def _pick_block_rows(m: int, n: int, itemsize: int) -> int:
 def _fused_normal_matvec(A, w, v, interpret=False):
     m, n = A.shape
     out_dtype = v.dtype
-    # Low-precision A (bf16 storage halves HBM traffic): feed the MXU the
-    # narrow dtype, accumulate f32, return the operand dtype.
-    if A.dtype in (jnp.bfloat16, jnp.float16):
-        w = w.astype(A.dtype)
-        v = v.astype(A.dtype)
+    # Low-precision A (bf16 storage halves HBM traffic): the tile is
+    # DMA'd narrow and upcast in-register inside the kernel; w/v stay in
+    # their own (usually f32) dtype — their bandwidth is negligible.
     br = _pick_block_rows(m, n, A.dtype.itemsize)
     pad = (-m) % br
     if pad:

@@ -1,0 +1,42 @@
+"""Smoke-run every example script (they mirror the reference README)."""
+
+import importlib
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+EXAMPLES = Path(__file__).resolve().parent.parent / "examples"
+sys.path.insert(0, str(EXAMPLES))
+
+
+def run(name):
+    mod = importlib.import_module(name)
+    return mod.main()
+
+
+def test_rosenbrock():
+    sol = run("01_rosenbrock_l1")
+    np.testing.assert_allclose(sol.x, [1.0, 1.0], atol=1e-3)
+
+
+def test_sparse_logistic():
+    sol = run("02_sparse_logistic")
+    assert sol.obj[-1] <= sol.obj[0]
+
+
+def test_group_lasso():
+    sol = run("03_group_lasso")
+    assert float(sol.rel[-1]) < 0.5
+
+
+def test_box_qp():
+    sol = run("04_box_qp")
+    assert np.all(np.abs(sol.x) <= 1 + 1e-9)
+
+
+def test_scaleout():
+    res = run("05_scaleout")
+    assert res.batch_size == 8
+    assert np.all(np.isfinite(res.obj))

@@ -478,6 +478,7 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
     def grad_fn(p, x):
         return p.grad_f(p.A, p.y, x) + lam * sm.grad(x, cw)
 
+    has_test = prob.Atest is not None and prob.ytest is not None
     x = prob.x0
     x_prev = prob.x0
     gq = grad_fn(prob, x) if is_lbfgs else jnp.zeros_like(x)
@@ -506,9 +507,18 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
             mrecs[nm].append(fn(prob, xc))
         times.append(time.perf_counter() - t0)
         if opts.verbose > 1:
-            print(f"[{label}] epoch {epochs}  obj {float(obj):.8e}  "
-                  f"fval {float(fval):.8e}  rel {float(rel):.3e}  "
-                  f"Δt {times[-1]:.3f}s")
+            # parity: show_stat! @show block (utils/utils.jl:50-79)
+            print("-" * 32)
+            print(f"Optimizer = {label}")
+            parts = [f"epoch = {epochs}", f"obj = {float(obj)}",
+                     f"fval = {float(fval)}", f"pri_res_norm = {pri_c}"]
+            if has_test:
+                parts.append(f"fvaltest = {float(ftst)}")
+            parts += [f"rel_error = {float(rel)}",
+                      f"Δtime = {times[-1]:.3f}s"]
+            print("\n".join(parts))
+            for nm in metric_names:
+                print(f"{nm} = {mrecs[nm][-1]}")
         return float(raw_frel)
 
     for epoch_t in range(1, opts.max_epoch + 1):
@@ -533,8 +543,15 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
             break
 
     record(x, pri)
+    if opts.verbose > 1:
+        # parity: show_stat! terminal messages (utils/utils.jl:94-101)
+        if conv:
+            print("The algorithm terminated after a relative tolerance "
+                  f"was reached at epoch {epochs}.")
+        else:
+            print("The algorithm reached its maximum number of epochs "
+                  f"({opts.max_epoch}).")
     arr = lambda k: np.asarray(recs[k])
-    has_test = prob.Atest is not None and prob.ytest is not None
     return Solution(
         x=np.asarray(x),
         obj=arr("obj"), fval=arr("fval"), pri_res_norm=arr("prires"),

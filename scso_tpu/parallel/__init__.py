@@ -5,6 +5,7 @@ New TPU-native capability — the reference has no parallelism of any kind
 """
 
 from scso_tpu.parallel.sharding import (
+    distributed_init,
     make_mesh,
     pad_rows,
     replicate,
@@ -18,6 +19,7 @@ from scso_tpu.parallel.sweep import (
 )
 
 __all__ = [
+    "distributed_init",
     "make_mesh",
     "pad_rows",
     "replicate",

@@ -34,6 +34,28 @@ from scso_tpu.problems import Problem
 from scso_tpu._src.struct import replace as dc_replace
 
 
+def distributed_init(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Initialize multi-host JAX (SURVEY.md §5 "Distributed communication").
+
+    Call once per host before building meshes; with no arguments JAX
+    auto-detects the TPU pod environment. Returns the global device
+    count. After this, `make_mesh()` spans ALL hosts' devices and the
+    psum collectives compile to ICI within a slice / DCN across slices.
+    No-op when already initialized or single-process.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process environment
+    return len(jax.devices())
+
+
 def make_mesh(shape=None, axis_names: Sequence[str] = ("data",),
               devices=None) -> Mesh:
     """Build a `jax.sharding.Mesh`.

@@ -1,16 +1,22 @@
 """Headline benchmark: sparse logistic regression time-to-1e-6 objective gap.
 
 Runs the BASELINE.json primary metric on the available accelerator:
-ProxGGNSCORE with matrix-free GGN-CG (jvp/vjp products, Jacobi
-preconditioning) + PHuber smoothing + l1 prox on an m×n sparse-design
-logistic regression, measuring wall-clock to a 1e-6 relative objective
-gap against a high-accuracy presolve, plus iterations/s and GGN-CG step
-latency.
+ProxGGNSCORE with matrix-free GGN-CG (warm-started, Jacobi-preconditioned,
+fused Pallas matvec) + PHuber smoothing + l1 prox on an m×n sparse-design
+logistic regression.
 
-The reference publishes no performance numbers (BASELINE.md — "published":
-{}), so `vs_baseline` is measured against the north-star wall-clock budget
-of 10 s (BASELINE.json: 1e-6 gap in < 10 s): vs_baseline = 10 / value,
-i.e. > 1.0 means inside budget.
+Honest metric protocol:
+  1. PRESOLVE to the true optimum by chaining warm-started solves until
+     the objective stops improving (the chain reuses ONE compiled
+     program — only traced leaves change — because fresh XLA programs
+     take minutes through the remote TPU compile service).
+  2. TIMED: fresh solves from x0 with f_tol=1e-6 measured against that
+     optimum; chained in 60-epoch chunks until the gap criterion fires.
+
+The reference publishes no performance numbers (BASELINE.md —
+"published": {}), so `vs_baseline` is measured against the north-star
+wall-clock budget of 10 s (BASELINE.json: 1e-6 gap in < 10 s):
+vs_baseline = 10 / value, i.e. > 1.0 means inside budget.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -27,11 +33,12 @@ import jax.numpy as jnp
 
 # convergence at 1e-6 needs true f32 matmuls, not the TPU default bf16 passes
 jax.config.update("jax_default_matmul_precision", "highest")
-# TPU-backend compiles of the fused while_loop are expensive over the
-# device tunnel (~2 min); persist them across bench runs
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if jax.default_backend() == "tpu":
+    # TPU-backend compiles go through a remote service and are expensive;
+    # persist them across bench runs
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import scso_tpu as scso
 from scso_tpu.algorithms.steps import ggn_step
@@ -39,8 +46,13 @@ from scso_tpu.ops.lbfgs_core import init_memory
 from scso_tpu.models import losses, synthetic
 from scso_tpu._src.struct import replace as dc_replace
 
-M, N = 1 << 19, 1024  # 524288 × 1024 dense design, ~2 GiB f32
+import os
+
+M = int(os.environ.get("BENCH_M", 1 << 19))  # 524288×1024 ≈ 2 GiB f32
+N = int(os.environ.get("BENCH_N", 1024))
 SEED = 7
+CHUNK = 60            # epochs per compiled chunk (ONE program for all)
+GAP = 1e-6
 
 
 def build_problem(sol=None):
@@ -64,27 +76,45 @@ def build_problem(sol=None):
 
 
 def main():
-    method = scso.ProxGGNSCORE(solver="cg", cg_tol=1e-8, cg_maxiter=100)
+    method = scso.ProxGGNSCORE(solver="cg", cg_tol=1e-6, cg_maxiter=100)
     sm = scso.PHuberSmootherL1L2(1.0)
+    solve_kw = dict(x_tol=1e-12, f_tol=GAP, max_epoch=CHUNK, verbose=0)
 
-    # --- presolve: high-accuracy optimum for the gap target ---------------
-    # Uses the SAME Options as the timed run (one compile): with x_star=0
-    # the f_tol gap criterion can't trigger (obj* = log 2 vs obj* ≈ 0.5),
-    # so the presolve runs to x_tol / epoch-cap accuracy.
-    solve_kw = dict(x_tol=1e-12, f_tol=1e-6, max_epoch=60, verbose=0)
+    run = lambda p: scso.iterate(method, p, "l1", sm, **solve_kw)
+
+    # --- presolve: chain warm-started chunks to the true optimum ----------
+    # x_star=0 ⇒ the f_tol gap criterion cannot fire (obj* = log 2 ≫ gap)
     prob = build_problem()
-    pre = scso.iterate(method, prob, "l1", sm, **solve_kw)
-    x_opt = pre.x
+    cur = prob
+    best = np.inf
+    x_opt = None
+    for _ in range(12):  # ≤ 720 epochs
+        s = run(cur)
+        x_opt = s.x  # terminal fixed point anchors the gap target
+        if s.obj[-1] >= best * (1 - 1e-7):
+            break
+        best = s.obj[-1]
+        cur = dc_replace(cur, x0=jnp.asarray(s.x))
 
-    # --- timed solve: stop exactly at 1e-6 relative objective gap ---------
-    prob = dc_replace(prob, x_star=jnp.asarray(x_opt))
-    run = lambda: scso.iterate(method, prob, "l1", sm, **solve_kw)
-    run()  # warm-up
-    t0 = time.perf_counter()
-    sol = run()
-    t_solve = time.perf_counter() - t0
-    iters_per_s = sol.epochs / t_solve
-    gap = float(sol.objrel[-1])
+    # --- timed: fresh solves vs the optimum, chained until gap fires ------
+    prob_t = dc_replace(prob, x_star=jnp.asarray(x_opt))
+    run(prob_t)  # warm-up (program is compiled; this warms dispatch)
+
+    t_solve = 0.0
+    epochs = 0
+    cg_total = 0
+    cur = prob_t
+    for _ in range(12):
+        t0 = time.perf_counter()
+        s = run(cur)
+        t_solve += time.perf_counter() - t0
+        epochs += s.epochs
+        cg_total += (s.cg_info or {}).get("total_cg_iters", 0)
+        if s.epochs < CHUNK or s.objrel[-1] <= GAP:
+            break
+        cur = dc_replace(cur, x0=jnp.asarray(s.x))
+    gap = float(s.objrel[-1])
+    iters_per_s = epochs / t_solve
 
     # --- GGN-CG step latency ---------------------------------------------
     # NOTE: prob must be a jit ARGUMENT — closing over it bakes the 2 GiB
@@ -97,11 +127,11 @@ def main():
                         jnp.zeros_like(x), jnp.int32(2), mem).x_new
 
     x = jnp.asarray(prob.x0)
-    jax.block_until_ready(step(prob, x))
+    jax.block_until_ready(step(prob_t, x))
     n_rep = 10
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        x = step(prob, x)
+        x = step(prob_t, x)
     jax.block_until_ready(x)
     ms_per_step = (time.perf_counter() - t0) / n_rep * 1e3
 
@@ -112,9 +142,10 @@ def main():
         "vs_baseline": round(10.0 / t_solve, 2),
         "config": f"{M}x{N} f32, ProxGGNSCORE(cg), PHuberL1L2(mu=1)",
         "device": jax.devices()[0].device_kind,
-        "epochs": int(sol.epochs),
+        "epochs": int(epochs),
         "iters_per_s": round(iters_per_s, 2),
         "ggn_cg_step_ms": round(ms_per_step, 2),
+        "total_cg_iters": int(cg_total),
         "final_rel_obj_gap": gap,
     }))
 

@@ -12,8 +12,11 @@ from scso_tpu.utils.checkpoint import (
     solution_to_state,
 )
 from scso_tpu.utils.profiling import trace_phase, profile_to
+from scso_tpu.utils.debug import sanitize, solve_with_recovery
 
 __all__ = [
+    "sanitize",
+    "solve_with_recovery",
     "mean_square_error",
     "slice_data",
     "batch_iter",

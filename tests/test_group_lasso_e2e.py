@@ -142,3 +142,28 @@ class TestUtils:
             meth, dc_replace(prob, x0=jnp.asarray(x_resumed)), "l1", sm,
             max_epoch=30, verbose=0)
         np.testing.assert_allclose(resumed.x, full.x, atol=1e-8)
+
+
+class TestDebugUtils:
+    def test_sanitize_context(self):
+        import jax
+        from scso_tpu.utils import sanitize
+        with sanitize(nans=True):
+            assert jax.config.jax_debug_nans
+        assert not jax.config.jax_debug_nans
+
+    def test_solve_with_recovery_matches_plain(self):
+        from scso_tpu.utils import solve_with_recovery
+        from scso_tpu.models import synthetic as syn
+
+        A, y, x0, _ = syn.make_sparse_logreg_data(
+            64, 16, density=0.3, n_active=4, seed=0, dtype=np.float64)
+        prob = scso.Problem(A, y, x0, losses.logistic_f, 1e-2,
+                            grad_fx=losses.logistic_grad,
+                            hess_fx=losses.logistic_hess, dtype=np.float64)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        ref = scso.iterate(scso.ProxNSCORE(), prob, "l1", sm,
+                           max_epoch=100, verbose=0)
+        rec = solve_with_recovery(scso.ProxNSCORE(), prob, "l1", sm,
+                                  chunk_epochs=20, verbose=0)
+        np.testing.assert_allclose(rec.x, ref.x, atol=1e-8)

@@ -164,3 +164,70 @@ class TestVmapOverMu:
         out = jax.vmap(grad_at)(mus)
         expect = jnp.stack([grad_at(m) for m in mus])
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect))
+
+
+class TestADProperties:
+    """Systematic property tests: grad/hess_diag must match jax.grad /
+    jax.hessian of the smoother value wherever the value is smooth
+    (SURVEY.md §4 'property tests that smoother grad/hess match jax.grad')."""
+
+    def _check(self, sm, x, atol=1e-9, check_hess=True):
+        import jax
+        val = lambda v: jnp.sum(sm.val(v))
+        g_ad = jax.grad(val)(x)
+        np.testing.assert_allclose(np.asarray(sm.grad(x)), np.asarray(g_ad),
+                                   atol=atol)
+        if check_hess:
+            h_ad = jnp.diagonal(jax.hessian(val)(x))
+            np.testing.assert_allclose(np.asarray(sm.hess_diag(x)),
+                                       np.asarray(h_ad), atol=atol)
+
+    def test_phuber_l1l2(self):
+        import scso_tpu as scso
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(64))
+        self._check(scso.PHuberSmootherL1L2(0.7), x)
+
+    def test_osba_l1l2(self):
+        import scso_tpu as scso
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(np.sign(rng.standard_normal(64))
+                        * (0.1 + np.abs(rng.standard_normal(64))))
+        self._check(scso.OsBaSmootherL1L2(0.5), x, atol=1e-8)
+
+    def test_exponential_indbox(self):
+        import scso_tpu as scso
+        x = jnp.asarray(np.random.default_rng(2).standard_normal(64))
+        self._check(scso.ExponentialSmootherIndBox(-1.0, 1.0, 0.6), x)
+
+    def test_phuber_indbox_outside(self):
+        import scso_tpu as scso
+        # strictly outside the box on both sides (smooth branches)
+        x = jnp.concatenate([jnp.linspace(-3.0, -1.1, 16),
+                             jnp.linspace(1.1, 3.0, 16)])
+        sm = scso.PHuberSmootherIndBox(-1.0, 1.0, 0.6)
+        # value/grad match AD on the smooth branches
+        self._check(sm, x, check_hess=True)
+
+    def test_logexp_indbox_smooth_regions(self):
+        import scso_tpu as scso
+        sm = scso.LogExpSmootherIndBox(-1.0, 1.0, 0.3)
+        # below-barrier region (x < a) and quadratic margin (a < x < a+mu)
+        x = jnp.concatenate([jnp.linspace(-2.0, -1.05, 8),
+                             jnp.linspace(-0.95, -0.75, 8)])
+        import jax
+        val = lambda v: jnp.sum(sm.val(v))
+        g_ad = jax.grad(val)(x)
+        np.testing.assert_allclose(np.asarray(sm.grad(x)),
+                                   np.asarray(g_ad), atol=1e-8)
+
+    def test_gl_infconv_value_finite(self):
+        import scso_tpu as scso
+        from scso_tpu.ops.groups import make_contiguous_groups
+        from scso_tpu.ops import smoothers as sms
+        groups = make_contiguous_groups(12, 4)
+        sm = sms.PHuberSmootherGL(mu=0.5, lam1=0.01, lam2=0.1,
+                                  groups=groups)
+        x = jnp.asarray(np.random.default_rng(3).standard_normal(12))
+        assert np.all(np.isfinite(np.asarray(sm.val(x))))
+        assert np.all(np.isfinite(np.asarray(sm.grad(x))))
+        assert np.all(np.isfinite(np.asarray(sm.hess_diag(x))))

@@ -10,6 +10,7 @@ from scso_tpu.parallel.sharding import (
     pad_rows,
     replicate,
     shard_problem,
+    shard_problem_features,
 )
 from scso_tpu.parallel.sweep import (
     SweepResult,
@@ -24,6 +25,7 @@ __all__ = [
     "pad_rows",
     "replicate",
     "shard_problem",
+    "shard_problem_features",
     "SweepResult",
     "solve_fleet",
     "stack_problems",

@@ -140,6 +140,68 @@ def shard_problem(prob: Problem, mesh: Mesh,
     )
 
 
+def shard_problem_features(prob: Problem, mesh: Mesh,
+                           model_axis: str = "model") -> Problem:
+    """Column/feature-shard a data problem over `model_axis` (huge-n).
+
+    The tensor-parallel analog for this problem class (SURVEY.md §2
+    "Model/tensor parallel ... shard x if needed"): A's column axis and
+    every n-vector (x0, x*, bounds, λ when vector) carry the same
+    sharding, so under `jit`:
+      * A·v contracts over the sharded axis → one psum, replicated (m,)
+        result;
+      * Aᵀ·u produces the (n,) result already sharded — no collective;
+      * smoother/prox elementwise ops stay local; CG dot products psum.
+    Composes with row sharding on a 2-D ('data', 'model') mesh: pass a
+    problem already row-sharded on the same mesh.
+    """
+    if not prob.has_data:
+        raise ValueError("shard_problem_features requires a data problem")
+    axis_size = mesh.shape[model_axis]
+    n = prob.x0.shape[-1]
+    if n % axis_size != 0:
+        raise ValueError(
+            f"n={n} not divisible by {model_axis!r}={axis_size}")
+
+    def col_spec(a):
+        # preserve an existing row sharding on A if present
+        if a is None:
+            return None
+        row = None
+        sh = getattr(a, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.spec and sh.spec[0]:
+            row = sh.spec[0]
+        return jax.device_put(
+            a, NamedSharding(mesh, P(row, model_axis)))
+
+    vec = NamedSharding(mesh, P(model_axis))
+    rep = NamedSharding(mesh, P())
+
+    def put_vec(a):
+        if a is None:
+            return None
+        if a.ndim >= 1 and a.shape[-1] == n:
+            return jax.device_put(a, vec)
+        return jax.device_put(a, rep)
+
+    def put_rep(a):
+        return None if a is None else jax.device_put(a, rep)
+
+    return dc_replace(
+        prob,
+        A=col_spec(prob.A),
+        Atest=col_spec(prob.Atest),
+        y=put_rep(prob.y),
+        ytest=put_rep(prob.ytest),
+        x0=put_vec(prob.x0),
+        x_star=put_vec(prob.x_star),
+        lb=put_vec(prob.lb),
+        ub=put_vec(prob.ub),
+        lam=put_rep(prob.lam),
+        L=put_rep(prob.L),
+    )
+
+
 def pad_rows(A, y, multiple: int):
     """Zero-pad (A, y) so the row count divides `multiple`.
 

@@ -173,3 +173,42 @@ class TestFleet:
             opts=scso.Options(max_epoch=150, verbose=0), mesh=mesh)
         assert res.batch_size == 8
         assert np.all(np.isfinite(res.obj))
+
+
+class TestFeatureSharding:
+    def test_feature_sharded_solve_matches(self):
+        from scso_tpu.parallel import shard_problem_features
+
+        prob = make_logreg(m=64, n=16)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        method = scso.ProxNSCORE(solver="cg", cg_tol=1e-12)
+        ref = scso.iterate(method, prob, "l1", sm, verbose=0)
+
+        mesh = make_mesh(axis_names=("model",))
+        sprob = shard_problem_features(prob, mesh)
+        assert len(sprob.A.sharding.device_set) == 8
+        sol = scso.iterate(method, sprob, "l1", sm, verbose=0)
+        np.testing.assert_allclose(sol.x, ref.x, atol=1e-8)
+
+    def test_2d_data_model_mesh(self):
+        from scso_tpu.parallel import shard_problem, shard_problem_features
+
+        prob = make_logreg(m=64, n=16)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        method = scso.ProxNSCORE(solver="cg", cg_tol=1e-12)
+        ref = scso.iterate(method, prob, "l1", sm, verbose=0)
+
+        mesh = make_mesh((4, 2), ("data", "model"))
+        sprob = shard_problem_features(
+            shard_problem(prob, mesh, data_axis="data"), mesh)
+        import jax
+        from jax.sharding import PartitionSpec as P
+        assert sprob.A.sharding.spec == P("data", "model")
+        sol = scso.iterate(method, sprob, "l1", sm, verbose=0)
+        np.testing.assert_allclose(sol.x, ref.x, atol=1e-8)
+
+    def test_indivisible_n(self):
+        from scso_tpu.parallel import shard_problem_features
+        prob = make_logreg(m=64, n=12)
+        with pytest.raises(ValueError):
+            shard_problem_features(prob, make_mesh(axis_names=("model",)))

@@ -15,7 +15,8 @@ from scso_tpu.ops.groups import Groups, make_contiguous_groups
 
 def make_sparse_logreg_data(m: int, n: int, density: float = 0.01,
                             n_active: int = None, seed: int = 1234,
-                            dtype=np.float32, label01: bool = False):
+                            dtype=np.float32, label01: bool = False,
+                            backend: str = "numpy"):
     """Random sparse-design logistic regression data.
 
     Mirrors the README example (README.md:100-110): A ~ sprandn(m, n,
@@ -25,8 +26,22 @@ def make_sparse_logreg_data(m: int, n: int, density: float = 0.01,
     0/1 labels (pair with losses.logistic01_* — REQUIRED for GGN, see
     losses.py).
 
+    ``backend='native'`` uses the OpenMP C++ generator
+    (scso_tpu._native) — a different RNG stream than numpy (not
+    bit-compatible; use for large-scale benchmarks, not oracle tests).
+
     Returns (A, y, x0, x_true).
     """
+    if backend == "native":
+        from scso_tpu import _native
+
+        out = _native.sparse_logreg(m, n, density,
+                                    n_active or 0, seed, label01)
+        if out is not None:
+            A, y, x0, x_true = out
+            cast = lambda a: a.astype(dtype) if a.dtype != dtype else a
+            return cast(A), cast(y), cast(x0), cast(x_true)
+        # toolchain unavailable → fall through to numpy
     rng = np.random.default_rng(seed)
     A = np.zeros((m, n), dtype=dtype)
     nnz = max(1, int(density * m * n))

@@ -1,11 +1,12 @@
 // Fast synthetic-data generation for the benchmark problem families.
 //
-// The numpy generator (scso_tpu/models/synthetic.py) takes ~17 s for the
-// 524288x1024 bench matrix; this OpenMP C++ version fills the same
-// structures in well under a second. It is the framework's native
-// runtime tier for host-side IO/data work (the TPU compute path is
-// JAX/XLA/Pallas — SURVEY.md §2: the reference has no native code, so
-// this is additive capability, not a port).
+// OpenMP C++ fill of the benchmark problem structures, ~3x the numpy
+// generator's steady-state throughput (scso_tpu/models/synthetic.py;
+// on virtualized hosts the first-touch page-fault cost of the output
+// buffer dominates cold calls for either backend). This is the
+// framework's native runtime tier for host-side IO/data work; the TPU
+// compute path is JAX/XLA/Pallas (SURVEY.md §2: the reference has no
+// native code, so this is additive capability, not a port).
 //
 // Exposed via ctypes (scso_tpu/_native/__init__.py): plain C ABI, caller
 // allocates. RNG: splitmix64 -> xoshiro256** per row, Box-Muller

@@ -163,8 +163,11 @@ def _damped_prox_update(method, prob: Problem, reg_name, sm, x, d,
 def _cg_tol(method, dtype):
     """Floor the CG tolerance at what the dtype can actually resolve —
     asking f32 CG for 1e-8 relative residual just accumulates drift for
-    maxiter iterations (and can hand back a garbage direction)."""
-    return max(method.cg_tol, 25.0 * float(jnp.finfo(dtype).eps))
+    maxiter iterations. The floor must stay WELL below the typical outer
+    gap target (1e-6): with warm-started CG a loose floor (e.g. 25·eps)
+    lets every solve exit at 0 iterations and stalls outer convergence
+    (observed: 720 epochs to a 1e-6 gap instead of ~60)."""
+    return max(method.cg_tol, 4.0 * float(jnp.finfo(dtype).eps))
 
 
 def _glm_cg_system(method, prob: Problem, As, ys, x, lhr, weight_fn,

@@ -59,6 +59,7 @@ class Options:
     max_epoch: int = 1000
     x_tol: float = 1e-10
     f_tol: float = 1e-10
+    stats_every: int = 1  # record histories every K epochs (1 = parity)
     batch_size: Optional[int] = None
     slice_samples: bool = False
     shuffle_batch: bool = True
@@ -86,6 +87,7 @@ class Carry(NamedTuple):
     gq_prev: jax.Array
     d_prev: jax.Array   # previous raw direction — CG warm start seed
     cg_total: jax.Array  # cumulative CG iterations across all steps
+    frel: jax.Array     # last recorded relative objective gap (stopping)
     k: jax.Array
     pri_res: jax.Array
     done: jax.Array
@@ -300,17 +302,37 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
     carry0 = Carry(
         x=prob.x0, x_prev=prob.x0, gq=gq0, gq_prev=jnp.zeros_like(prob.x0),
         d_prev=jnp.zeros_like(prob.x0), cg_total=jnp.int32(0),
+        frel=jnp.asarray(jnp.inf, dt),
         k=jnp.int32(0), pri_res=jnp.asarray(jnp.nan, dt),
         done=jnp.asarray(False), mem=mem0, hist=hist0,
         key=jax.random.PRNGKey(rng_seed),
     )
 
     def epoch_body(carry: Carry) -> Carry:
-        fval, obj, rel, objrel, raw_frel, ftst, mvals = _stats(
-            prob, reg_name, carry.x, obj_star, x_tol, f_tol, metric_fns
-        )
-        hist = _record(carry.hist, fval, obj, rel, objrel, carry.pri_res,
-                       ftst, mvals)
+        def with_stats(_):
+            fval, obj, rel, objrel, raw_frel, ftst, mvals = _stats(
+                prob, reg_name, carry.x, obj_star, x_tol, f_tol, metric_fns
+            )
+            if opts.verbose > 1:
+                jax.debug.print(
+                    "epoch {k}  obj {o:.8e}  fval {f:.8e}  rel {r:.3e}",
+                    k=carry.k, o=obj, f=fval, r=rel,
+                )
+            return _record(carry.hist, fval, obj, rel, objrel,
+                           carry.pri_res, ftst, mvals), raw_frel
+
+        if opts.stats_every <= 1:
+            hist, raw_frel = with_stats(None)
+        else:
+            # stats are the other half of the epoch cost (a full data pass
+            # for fval); amortize them over stats_every epochs. Stopping
+            # on f_tol then uses the last recorded gap.
+            hist, raw_frel = lax.cond(
+                carry.k % opts.stats_every == 0,
+                with_stats,
+                lambda _: (carry.hist, carry.frel),
+                None,
+            )
         it = carry.k + 1  # 1-based like the reference epoch_t
 
         if batching is None:
@@ -372,14 +394,10 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
             | (raw_frel <= f_tol)
             | (pri < x_tol)
         )
-        if opts.verbose > 1:
-            jax.debug.print(
-                "epoch {k}  obj {o:.8e}  fval {f:.8e}  rel {r:.3e}",
-                k=carry.k, o=obj, f=fval, r=rel,
-            )
         return Carry(x=x, x_prev=x_prev, gq=gq, gq_prev=gq_prev,
-                     d_prev=d_prev, cg_total=cg_total, k=carry.k + 1,
-                     pri_res=pri, done=conv, mem=mem, hist=hist, key=key)
+                     d_prev=d_prev, cg_total=cg_total, frel=raw_frel,
+                     k=carry.k + 1, pri_res=pri, done=conv, mem=mem,
+                     hist=hist, key=key)
 
     def cond(carry: Carry):
         return (~carry.done) & (carry.k < max_epoch)
@@ -571,7 +589,8 @@ def iterate(method, model: Problem, reg_name: str, h_mu, *,
             metrics: Optional[dict] = None, alpha=None, batch_size=None,
             slice_samples=False, shuffle_batch=True, max_epoch=1000,
             comm_rounds=100, local_max_iter=None, x_tol=1e-10, f_tol=1e-10,
-            verbose=1, mode="fused", rng_seed=0) -> Solution:
+            verbose=1, mode="fused", rng_seed=0,
+            stats_every=1) -> Solution:
     """Run a SCORE solve — the reference's `iterate!` entry point.
 
     Args mirror iterate.jl:56 (α spelled `alpha`); `mode` selects the
@@ -581,7 +600,8 @@ def iterate(method, model: Problem, reg_name: str, h_mu, *,
     """
     opts = Options(
         max_epoch=(1 if local_max_iter is not None else max_epoch),
-        x_tol=x_tol, f_tol=f_tol, batch_size=batch_size,
+        x_tol=x_tol, f_tol=f_tol, stats_every=stats_every,
+        batch_size=batch_size,
         slice_samples=slice_samples, shuffle_batch=shuffle_batch,
         local_max_iter=local_max_iter, comm_rounds=comm_rounds,
         verbose=verbose, mode=mode,

@@ -278,3 +278,19 @@ class TestSolveOptions:
                            local_max_iter=2, verbose=0)
         # one epoch, at most 2 inner steps
         assert sol.epochs == 1
+
+
+class TestStatsEvery:
+    def test_stats_every_preserves_solution(self):
+        model = make_log_problem()
+        s1 = scso.iterate(scso.ProxNSCORE(), model, "l1",
+                          scso.PHuberSmootherL1L2(MU), verbose=0)
+        s4 = scso.iterate(scso.ProxNSCORE(), model, "l1",
+                          scso.PHuberSmootherL1L2(MU), verbose=0,
+                          stats_every=4)
+        # same trajectory; stopping may lag by < stats_every epochs
+        np.testing.assert_allclose(s4.x, s1.x, atol=1e-9)
+        assert abs(s4.epochs - s1.epochs) < 4
+        # history is sparser but endpoints agree
+        assert len(s4.obj) < len(s1.obj)
+        np.testing.assert_allclose(s4.obj[-1], s1.obj[-1], atol=1e-12)

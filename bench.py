@@ -70,6 +70,7 @@ def build_problem(sol=None):
         loss_fn=losses.logistic_loss_01,
         hvp_w=losses.logistic01_hvp_w,
         ggn_w=losses.logistic_ggn_w,
+        glm=losses.LOGISTIC01_GLM,
         sol=sol,
         dtype=np.float32,
     )

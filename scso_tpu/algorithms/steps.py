@@ -170,32 +170,37 @@ def _cg_tol(method, dtype):
     return max(method.cg_tol, 4.0 * float(jnp.finfo(dtype).eps))
 
 
+def _weighted_system(method, As, x, w, lhr):
+    """(matvec, preconditioner) from precomputed GLM weights w:
+    mv(v) = Aᵀ(w∘(Av)) + λHr∘v, Jacobi M⁻¹ = 1/(diag(AᵀWA) + λHr).
+
+    The fused single-pass Pallas kernel carries the matvec when shapes
+    allow, else the explicit two-matmul form (still beats jvp-of-grad's
+    three A passes). Preconditioning with λ·Hr alone is catastrophic for
+    small λ — it rescales the system by 1/λ and CG diverges in f32.
+    """
+    tiny = jnp.finfo(x.dtype).tiny
+    if (method.kernels == "pallas"
+            and supports_fused_normal_matvec(*As.shape)):
+        mv = lambda v: fused_normal_matvec(As, w, v) + lhr * v
+    else:
+        mv = lambda v: As.T @ (w * (As @ v)) + lhr * v
+    hdiag = jnp.einsum("i,ij,ij->j", w, As, As) + lhr
+    M_inv = lambda v: v / jnp.maximum(hdiag, tiny)
+    return mv, M_inv
+
+
 def _glm_cg_system(method, prob: Problem, As, ys, x, lhr, weight_fn,
                    hvp_fallback):
-    """(matvec, preconditioner) for the CG solve.
-
-    With GLM structure (weight_fn gives w s.t. H·v = Aᵀ(w∘(Av))):
-      * matvec: the fused single-pass Pallas kernel when available, else
-        the explicit two-matmul form (still beats jvp-of-grad's three
-        A passes);
-      * preconditioner: TRUE Jacobi 1/(diag(AᵀWA) + λ·Hr). Using only
-        λ·Hr (the reference-free naive choice) is catastrophic for small
-        λ — it rescales the system by 1/λ and CG diverges in f32.
-    Without GLM structure: jvp/vjp HVP + λ·Hr-only Jacobi.
-    """
+    """(matvec, preconditioner) for the CG solve — weight_fn variant
+    (recomputes z = A·x internally; prefer the GLMSpec z-reuse paths in
+    the step functions when prob.glm is set)."""
     tiny = jnp.finfo(x.dtype).tiny
     if weight_fn is not None and prob.has_data and As.ndim == 2:
         w = weight_fn(As, ys, x)
-        if (method.kernels == "pallas"
-                and supports_fused_normal_matvec(*As.shape)):
-            mv = lambda v: fused_normal_matvec(As, w, v) + lhr * v
-        else:
-            mv = lambda v: As.T @ (w * (As @ v)) + lhr * v
-        hdiag = jnp.einsum("i,ij,ij->j", w, As, As) + lhr
-        M_inv = lambda v: v / jnp.maximum(hdiag, tiny)
-    else:
-        mv = lambda v: hvp_fallback(v) + lhr * v
-        M_inv = lambda v: v / jnp.maximum(lhr, tiny)
+        return _weighted_system(method, As, x, w, lhr)
+    mv = lambda v: hvp_fallback(v) + lhr * v
+    M_inv = lambda v: v / jnp.maximum(lhr, tiny)
     return mv, M_inv
 
 
@@ -221,7 +226,15 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
     lgr = lam * gr
     Hr_diag = sm.hess_diag(x, cw)
 
-    gq = prob.grad_f(As, ys, x) + lgr
+    use_glm = (prob.glm is not None and prob.has_data
+               and getattr(As, "ndim", 0) == 2 and method.solver == "cg")
+    if use_glm:
+        # single data pass for the linear predictor; gradient residual,
+        # Hessian weights and the Jacobi diagonal all derive from it
+        z = As @ x
+        gq = As.T @ prob.glm.gres(ys, z) + lgr
+    else:
+        gq = prob.grad_f(As, ys, x) + lgr
 
     cg_iters = jnp.int32(0)
     if method.solver == "dense":
@@ -229,9 +242,13 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
         d = -jnp.linalg.solve(H + lam * jnp.diag(Hr_diag), gq)
     elif method.solver == "cg":
         lhr = lam * Hr_diag
-        mv, M_inv = _glm_cg_system(method, prob, As, ys, x, lhr,
-                                   prob.hvp_w,
-                                   lambda v: prob.hvp_f(As, ys, x, v))
+        if use_glm:
+            w = prob.glm.hvp_w(ys, z)
+            mv, M_inv = _weighted_system(method, As, x, w, lhr)
+        else:
+            mv, M_inv = _glm_cg_system(method, prob, As, ys, x, lhr,
+                                       prob.hvp_w,
+                                       lambda v: prob.hvp_f(As, ys, x, v))
         x0_cg = None if d_prev is None else -d_prev
         res = cg_solve(mv, gq, x0_cg, tol=_cg_tol(method, x.dtype),
                        maxiter=method.cg_maxiter, M_inv=M_inv)
@@ -305,14 +322,25 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
     preconditioning by the smoother-Hessian diagonal. On a row-sharded
     mesh each matvec psums partial sums over the data axis.
     """
-    yhat, residual, q_diag = prob.ggn_residual_qdiag(As, ys, x)
-    _, jt = prob.vjp_out(As, x)
-    b = -(jt(residual) + lam * gr)
     lhr = lam * Hr_diag
-
-    mv, M_inv = _glm_cg_system(
-        method, prob, As, ys, x, lhr, prob.ggn_w,
-        lambda v: jt(q_diag * prob.jvp_out(As, x, v)))
+    if (prob.glm is not None and prob.has_data
+            and getattr(As, "ndim", 0) == 2):
+        # single-z GLM path: z = A·x once; ŷ, J-diagonal, residual,
+        # curvature and CG weights are elementwise in z
+        g = prob.glm
+        z = As @ x
+        yhat = g.link(z)
+        sp = g.dlink(z)
+        b = -(As.T @ (sp * g.res(ys, yhat)) + lam * gr)
+        w = sp * sp * g.qdiag(ys, yhat)
+        mv, M_inv = _weighted_system(method, As, x, w, lhr)
+    else:
+        yhat, residual, q_diag = prob.ggn_residual_qdiag(As, ys, x)
+        _, jt = prob.vjp_out(As, x)
+        b = -(jt(residual) + lam * gr)
+        mv, M_inv = _glm_cg_system(
+            method, prob, As, ys, x, lhr, prob.ggn_w,
+            lambda v: jt(q_diag * prob.jvp_out(As, x, v)))
     res = cg_solve(mv, b, d_prev, tol=_cg_tol(method, x.dtype),
                    maxiter=method.cg_maxiter, M_inv=M_inv)
     return res.x, res.iters

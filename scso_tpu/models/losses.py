@@ -208,3 +208,37 @@ def qp_hess(Q, c, x):
 
 def rosenbrock(x):
     return 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2
+
+
+# ---------------------------------------------------------------------------
+# GLM specs: elementwise structure over z = A·x for the single-pass step
+# fast paths (scso_tpu.problems.GLMSpec)
+# ---------------------------------------------------------------------------
+
+from scso_tpu.problems import GLMSpec  # noqa: E402  (cycle-free: late import)
+
+
+def _sig_dlink(z):
+    s = jax.nn.sigmoid(z)
+    return s * (1.0 - s)
+
+
+LOGISTIC01_GLM = GLMSpec(
+    link=jax.nn.sigmoid,
+    dlink=_sig_dlink,
+    res=lambda y, yhat: (-(y / yhat) + (1.0 - y) / (1.0 - yhat))
+    / yhat.shape[0],
+    qdiag=lambda y, yhat: (y / yhat**2 + (1.0 - y) / (1.0 - yhat) ** 2)
+    / yhat.shape[0],
+    hvp_w=lambda y, z: _sig_dlink(z) / z.shape[0],
+    gres=lambda y, z: (jax.nn.sigmoid(z) - y) / z.shape[0],
+)
+
+LSQ_GLM = GLMSpec(
+    link=lambda z: z,
+    dlink=jnp.ones_like,
+    res=lambda y, yhat: (yhat - y) / yhat.shape[0],
+    qdiag=lambda y, yhat: jnp.full_like(yhat, 1.0 / yhat.shape[0]),
+    hvp_w=lambda y, z: jnp.full_like(z, 1.0 / z.shape[0]),
+    gres=lambda y, z: (z - y) / z.shape[0],
+)

@@ -21,9 +21,36 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from typing import NamedTuple
+
 from scso_tpu._src.struct import pytree_dataclass, static_field
 from scso_tpu.ops.groups import Groups
 from scso_tpu.ops.regularizers import reg_value
+
+
+class GLMSpec(NamedTuple):
+    """Generalized-linear-model structure: everything derived from z = A·x.
+
+    Declaring this on a Problem lets the GGN/Newton steps compute the
+    linear predictor ONCE per step and derive output, residual, curvature
+    and CG weights from it elementwise — removing redundant full-data
+    passes that the generic out_fn/grad_fy interface forces.
+
+    Fields (all elementwise in z / yhat):
+      link:   z -> yhat                  (model output, e.g. sigmoid)
+      dlink:  z -> dyhat/dz              (link derivative)
+      res:    (y, yhat) -> dloss/dyhat   (GGN residual)
+      qdiag:  (y, yhat) -> d2loss/dyhat2 (diagonal GGN curvature)
+      hvp_w:  (y, z) -> w with ∇²f·v = Aᵀ(w∘(Av)) (Newton weights)
+      gres:   (y, z) -> u with ∇f = Aᵀu   (gradient residual)
+    """
+
+    link: Callable
+    dlink: Callable
+    res: Callable
+    qdiag: Callable
+    hvp_w: Callable
+    gres: Callable
 
 
 @pytree_dataclass
@@ -72,6 +99,7 @@ class Problem:
     # so one A-tile pass computes the whole CG matvec.
     hvp_w: Optional[Callable] = static_field(default=None)
     ggn_w: Optional[Callable] = static_field(default=None)
+    glm: Optional[GLMSpec] = static_field(default=None)
     name: Optional[str] = static_field(default=None)
     has_data: bool = static_field(default=False)
 
@@ -222,6 +250,7 @@ def make_problem(
     hess_fy_diag=None,
     hvp_w=None,
     ggn_w=None,
+    glm=None,
     name=None,
     dtype=None,
 ) -> Problem:
@@ -282,6 +311,7 @@ def make_problem(
         hess_fy_diag=hess_fy_diag,
         hvp_w=hvp_w,
         ggn_w=ggn_w,
+        glm=glm,
         name=name,
         has_data=has_data,
     )

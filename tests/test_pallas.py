@@ -142,6 +142,7 @@ def make_glm_problem(m=64, n=128, seed=0):
         hess_fy_diag=losses.logistic_ggn_qdiag,
         loss_fn=losses.logistic_loss_01,
         hvp_w=losses.logistic01_hvp_w, ggn_w=losses.logistic_ggn_w,
+        glm=losses.LOGISTIC01_GLM,
         dtype=np.float64)
 
 

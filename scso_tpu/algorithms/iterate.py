@@ -597,7 +597,14 @@ def iterate(method, model: Problem, reg_name: str, h_mu, *,
     fused on-device loop or the instrumented python loop. `metrics` maps
     name -> fn(problem, x): jax-traceable in fused mode (recorded on
     device), arbitrary python in timed mode.
+
+    ``method=None`` defaults to ProxLQNSCORE — the reference's
+    method-less overload (iterate.jl:78-98) intends this but passes
+    `nothing` into a `::ProximalMethod` argument and can never run
+    (SURVEY.md §3.2 "dead code"); we implement the intent.
     """
+    if method is None:
+        method = ProxLQNSCORE()
     opts = Options(
         max_epoch=(1 if local_max_iter is not None else max_epoch),
         x_tol=x_tol, f_tol=f_tol, stats_every=stats_every,

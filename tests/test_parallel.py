@@ -212,3 +212,28 @@ class TestFeatureSharding:
         prob = make_logreg(m=64, n=12)
         with pytest.raises(ValueError):
             shard_problem_features(prob, make_mesh(axis_names=("model",)))
+
+
+class TestShardedGLMPath:
+    def test_row_sharded_glm_cg_matches(self):
+        """The GLM single-z path (explicit matvec + einsum Jacobi diag)
+        must partition under GSPMD and match the single-device solve."""
+        A, y, x0, _ = synthetic.make_sparse_logreg_data(
+            64, 16, density=0.3, n_active=4, seed=3, dtype=np.float64,
+            label01=True)
+        prob = scso.Problem(
+            A, y, x0, losses.logistic01_f, 1e-2,
+            grad_fx=losses.logistic01_grad,
+            out_fn=losses.sigmoid_out,
+            grad_fy=losses.logistic_ggn_residual,
+            hess_fy_diag=losses.logistic_ggn_qdiag,
+            hvp_w=losses.logistic01_hvp_w, ggn_w=losses.logistic_ggn_w,
+            glm=losses.LOGISTIC01_GLM, dtype=np.float64)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        for method in [scso.ProxNSCORE(solver="cg", cg_tol=1e-12),
+                       scso.ProxGGNSCORE(solver="cg", cg_tol=1e-12)]:
+            ref = scso.iterate(method, prob, "l1", sm, max_epoch=60,
+                               verbose=0)
+            sol = scso.iterate(method, shard_problem(prob, make_mesh()),
+                               "l1", sm, max_epoch=60, verbose=0)
+            np.testing.assert_allclose(sol.x, ref.x, atol=1e-8)

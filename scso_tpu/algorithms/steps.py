@@ -326,13 +326,23 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
     if (prob.glm is not None and prob.has_data
             and getattr(As, "ndim", 0) == 2):
         # single-z GLM path: z = A·x once; ŷ, J-diagonal, residual,
-        # curvature and CG weights are elementwise in z
+        # curvature and CG weights are elementwise in z. Prefer the
+        # STABLE product forms: the naive σ'·res / σ'²·qdiag
+        # compositions overflow to 0·inf = NaN in f32 when the link
+        # saturates (logistic at |z| > 17), which silently zeroes CG
+        # (NaN fails the residual test at iteration 0).
         g = prob.glm
         z = As @ x
-        yhat = g.link(z)
-        sp = g.dlink(z)
-        b = -(As.T @ (sp * g.res(ys, yhat)) + lam * gr)
-        w = sp * sp * g.qdiag(ys, yhat)
+        if g.ggn_rw is not None:
+            rw = g.ggn_rw(ys, z)
+        else:
+            rw = g.dlink(z) * g.res(ys, g.link(z))
+        if g.ggn_w is not None:
+            w = g.ggn_w(ys, z)
+        else:
+            sp = g.dlink(z)
+            w = sp * sp * g.qdiag(ys, g.link(z))
+        b = -(As.T @ rw + lam * gr)
         mv, M_inv = _weighted_system(method, As, x, w, lhr)
     else:
         yhat, residual, q_diag = prob.ggn_residual_qdiag(As, ys, x)

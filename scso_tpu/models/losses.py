@@ -128,11 +128,14 @@ def logistic_ggn_w(A, y, x):
     """GGN weights: JᵀQJ·v = Aᵀ(w∘(Av)), w = (ŷ(1−ŷ))²·diag(Q).
 
     With ŷ = σ(Ax), J = diag(ŷ(1−ŷ))·A and Q = diag(logistic_ggn_qdiag).
+    Computed in the saturation-stable product form
+    w·m = y·(1−ŷ)² + (1−y)·ŷ² — the naive composition is 0·inf = NaN in
+    f32 wherever |Ax| > 17 rounds ŷ to exactly 0 or 1.
     """
-    yhat = jax.nn.sigmoid(A @ x)
-    sp = yhat * (1.0 - yhat)
-    q = (y / yhat**2 + (1.0 - y) / (1.0 - yhat) ** 2) / A.shape[0]
-    return sp * sp * q
+    z = A @ x
+    s_pos = jax.nn.sigmoid(z)      # ŷ
+    s_neg = jax.nn.sigmoid(-z)     # 1 − ŷ, stable at large z
+    return (y * s_neg**2 + (1.0 - y) * s_pos**2) / A.shape[0]
 
 
 # ---------------------------------------------------------------------------
@@ -232,6 +235,13 @@ LOGISTIC01_GLM = GLMSpec(
     / yhat.shape[0],
     hvp_w=lambda y, z: _sig_dlink(z) / z.shape[0],
     gres=lambda y, z: (jax.nn.sigmoid(z) - y) / z.shape[0],
+    # stable product forms — σ'·res = (ŷ−y)/m and
+    # σ'²·qdiag = (y(1−ŷ)² + (1−y)ŷ²)/m never divide by a saturated link
+    ggn_rw=lambda y, z: (jax.nn.sigmoid(z) - y) / z.shape[0],
+    ggn_w=lambda y, z: (
+        y * jax.nn.sigmoid(-z) ** 2
+        + (1.0 - y) * jax.nn.sigmoid(z) ** 2
+    ) / z.shape[0],
 )
 
 LSQ_GLM = GLMSpec(
@@ -241,4 +251,6 @@ LSQ_GLM = GLMSpec(
     qdiag=lambda y, yhat: jnp.full_like(yhat, 1.0 / yhat.shape[0]),
     hvp_w=lambda y, z: jnp.full_like(z, 1.0 / z.shape[0]),
     gres=lambda y, z: (z - y) / z.shape[0],
+    ggn_rw=lambda y, z: (z - y) / z.shape[0],
+    ggn_w=lambda y, z: jnp.full_like(z, 1.0 / z.shape[0]),
 )

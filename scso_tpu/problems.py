@@ -43,6 +43,12 @@ class GLMSpec(NamedTuple):
       qdiag:  (y, yhat) -> d2loss/dyhat2 (diagonal GGN curvature)
       hvp_w:  (y, z) -> w with ∇²f·v = Aᵀ(w∘(Av)) (Newton weights)
       gres:   (y, z) -> u with ∇f = Aᵀu   (gradient residual)
+
+    Optional STABLE product forms (highly recommended — the naive
+    compositions overflow in f32 under link saturation, e.g. logistic
+    1/(1−ŷ)² at z > 17 gives w = σ'²·q = 0·inf = NaN):
+      ggn_rw: (y, z) -> σ'·res   (GGN RHS weights;  J = diag(σ')A)
+      ggn_w:  (y, z) -> σ'²·qdiag (GGN matvec weights)
     """
 
     link: Callable
@@ -51,6 +57,8 @@ class GLMSpec(NamedTuple):
     qdiag: Callable
     hvp_w: Callable
     gres: Callable
+    ggn_rw: Optional[Callable] = None
+    ggn_w: Optional[Callable] = None
 
 
 @pytree_dataclass

@@ -263,3 +263,38 @@ class TestGGNConvergence:
         # within the epoch cap they agree to ~1e-3
         np.testing.assert_allclose(sg.obj[-1], sn.obj[-1], rtol=1e-3)
         np.testing.assert_allclose(sg.x, sn.x, atol=0.05)
+
+
+class TestSaturationStability:
+    def test_glm_weights_finite_under_saturation(self):
+        """|z| > 17 rounds sigmoid to exactly 0/1 in f32; the stable
+        product forms must stay finite (the naive composition NaNs and
+        silently zeroes CG — the 720-epoch bench regression)."""
+        z = jnp.asarray(np.array([-40.0, -20.0, 0.0, 20.0, 40.0]),
+                        jnp.float32)
+        y = jnp.asarray(np.array([0.0, 1.0, 1.0, 0.0, 1.0]), jnp.float32)
+        g = losses.LOGISTIC01_GLM
+        assert np.all(np.isfinite(np.asarray(g.ggn_w(y, z))))
+        assert np.all(np.isfinite(np.asarray(g.ggn_rw(y, z))))
+        A = jnp.ones((5, 4), jnp.float32)
+        x = jnp.ones((4,), jnp.float32) * 10.0  # z = 40 everywhere
+        assert np.all(np.isfinite(np.asarray(
+            losses.logistic_ggn_w(A, y, x))))
+
+    def test_saturated_start_converges(self):
+        """GGN-CG from a far start (saturated sigmoids) must do real CG
+        work and descend — f32 end to end."""
+        A, y, x0, _ = synthetic.make_sparse_logreg_data(
+            512, 256, density=0.3, n_active=16, seed=11, dtype=np.float32,
+            label01=True)
+        prob = scso.Problem(
+            A, np.asarray(y), np.asarray(x0) * 3.0,  # push z into saturation
+            losses.logistic01_f, 1e-2,
+            grad_fx=losses.logistic01_grad,
+            glm=losses.LOGISTIC01_GLM, dtype=np.float32)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        sol = scso.iterate(scso.ProxGGNSCORE(solver="cg"), prob, "l1", sm,
+                           max_epoch=60, verbose=0)
+        assert np.all(np.isfinite(sol.x))
+        assert sol.obj[-1] < sol.obj[0]
+        assert sol.cg_info and sol.cg_info["total_cg_iters"] > 0

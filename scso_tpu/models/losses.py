@@ -65,13 +65,19 @@ def logistic_loss_01(y, yhat):
 
 
 def logistic_ggn_residual(A, y, yhat):
-    """∇_ŷ of logistic_loss_01."""
+    """∇_ŷ of logistic_loss_01.
+
+    WARNING: divides by ŷ/(1−ŷ) — overflows under f32 link saturation
+    (|Ax| > 17). Reference-parity hook; prefer LOGISTIC01_GLM's stable
+    product forms for large-scale solves."""
     m = yhat.shape[0]
     return (-(y / yhat) + (1.0 - y) / (1.0 - yhat)) / m
 
 
 def logistic_ggn_qdiag(A, y, yhat):
-    """diag ∇²_ŷ of logistic_loss_01 (it is exactly diagonal)."""
+    """diag ∇²_ŷ of logistic_loss_01 (it is exactly diagonal).
+
+    WARNING: same saturation overflow as logistic_ggn_residual."""
     m = yhat.shape[0]
     return (y / yhat**2 + (1.0 - y) / (1.0 - yhat) ** 2) / m
 

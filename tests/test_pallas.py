@@ -298,3 +298,17 @@ class TestSaturationStability:
         assert np.all(np.isfinite(sol.x))
         assert sol.obj[-1] < sol.obj[0]
         assert sol.cg_info and sol.cg_info["total_cg_iters"] > 0
+
+    def test_stable_forms_match_naive_when_unsaturated(self):
+        rng = np.random.default_rng(12)
+        z = jnp.asarray(rng.uniform(-5, 5, 64), jnp.float64)
+        y = jnp.asarray((rng.random(64) < 0.5).astype(np.float64))
+        g = losses.LOGISTIC01_GLM
+        yhat = g.link(z)
+        sp = g.dlink(z)
+        np.testing.assert_allclose(np.asarray(g.ggn_w(y, z)),
+                                   np.asarray(sp * sp * g.qdiag(y, yhat)),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(g.ggn_rw(y, z)),
+                                   np.asarray(sp * g.res(y, yhat)),
+                                   rtol=1e-10)

@@ -63,7 +63,7 @@ def bench_logistic_100x50():
         hess_fy_diag=losses.logistic_ggn_qdiag,
         loss_fn=losses.logistic_loss_01,
         hvp_w=losses.logistic01_hvp_w, ggn_w=losses.logistic_ggn_w,
-        dtype=np.float32)
+        glm=losses.LOGISTIC01_GLM, dtype=np.float32)
     out = {}
     ok = True
     for meth, key in [(scso.ProxNSCORE(solver="cg"), "newton"),
@@ -94,7 +94,7 @@ def bench_group_lasso():
         grad_fx=losses.lsq_grad, out_fn=losses.linear_out,
         loss_fn=losses.lsq_loss, grad_fy=losses.lsq_ggn_residual,
         hess_fy_diag=losses.lsq_ggn_qdiag, sol=x_true, groups=groups,
-        dtype=np.float32)
+        glm=losses.LSQ_GLM, dtype=np.float32)
     sm = scso.PHuberSmootherGL(1e-2, prob)
     lam2s = np.logspace(-1, 1, 8).astype(np.float32)
     lam_grid = np.stack([np.full_like(lam2s, 1e-8), lam2s], axis=1)
@@ -133,7 +133,8 @@ def bench_big_sweep(quick=False):
         label01=True)
     prob = scso.Problem(A, y, x0, losses.logistic01_f, 0.01,
                         grad_fx=losses.logistic01_grad,
-                        hvp_w=losses.logistic01_hvp_w, dtype=np.float32)
+                        hvp_w=losses.logistic01_hvp_w,
+                        glm=losses.LOGISTIC01_GLM, dtype=np.float32)
     sm = scso.PHuberSmootherL1L2(1.0)
     lam_grid = np.logspace(-3, -0.5, B).astype(np.float32)
     mesh = make_mesh(axis_names=("batch",)) if len(jax.devices()) > 1 else None

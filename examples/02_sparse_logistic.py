@@ -28,6 +28,7 @@ def main():
         loss_fn=losses.logistic_loss_01,
         hvp_w=losses.logistic01_hvp_w,
         ggn_w=losses.logistic_ggn_w,
+        glm=losses.LOGISTIC01_GLM,
         dtype=np.float64,
     )
     hmu = scso.PHuberSmootherL1L2(1.0)

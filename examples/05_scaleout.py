@@ -30,7 +30,8 @@ def main():
         label01=True)
     prob = scso.Problem(A, y, x0, losses.logistic01_f, 0.01,
                         grad_fx=losses.logistic01_grad,
-                        hvp_w=losses.logistic01_hvp_w, dtype=np.float32)
+                        hvp_w=losses.logistic01_hvp_w,
+                        glm=losses.LOGISTIC01_GLM, dtype=np.float32)
     # Armijo (ss_type=3): from a far random start the saturated-sigmoid
     # Newton step needs a line search to stay stable at small λ
     method = scso.ProxNSCORE(solver="cg", ss_type=3)

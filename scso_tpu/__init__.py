@@ -31,6 +31,7 @@ from scso_tpu.algorithms.methods import (
     ProxGGNSCORE,
     ProxLQNSCORE,
     ProxNSCORE,
+    ProximalMethod,
 )
 from scso_tpu.algorithms.iterate import Options, Solution, iterate, solve
 from scso_tpu.ops import smoothers as _smoothers
@@ -116,6 +117,7 @@ __all__ = [
     "ProxNSCORE",
     "ProxGGNSCORE",
     "ProxLQNSCORE",
+    "ProximalMethod",
     "NoSmooth",
     "PHuberSmootherL1L2",
     "PHuberSmootherIndBox",

@@ -95,4 +95,7 @@ class ProxLQNSCORE:
         return self.name, self.label
 
 
-Method = (ProxNSCORE, ProxGGNSCORE, ProxLQNSCORE)
+#: The method union — usable with isinstance(), mirroring the reference's
+#: abstract `ProximalMethod` type (types/abstract.jl:6).
+ProximalMethod = (ProxNSCORE, ProxGGNSCORE, ProxLQNSCORE)
+Method = ProximalMethod  # back-compat alias

@@ -72,7 +72,11 @@ def _make_kernel(acc_dtype):
 
 
 def _pick_block_rows(m: int, n: int, itemsize: int) -> int:
-    br = max(8, _TILE_BYTES // max(1, n * itemsize))
+    # VMEM per element: double-buffered streamed tile (2×itemsize) plus,
+    # for narrow dtypes, the in-register f32 upcast copy (4 bytes) — a
+    # bf16 tile budgeted on storage alone OOMs scoped VMEM by ~4 MB.
+    eff = 2 * itemsize + (4 if itemsize < 4 else 0)
+    br = max(8, 2 * _TILE_BYTES // max(1, n * eff))
     br = min(br, m)
     # round down to a multiple of 8 (f32 sublane tile)
     return max(8, (br // 8) * 8)

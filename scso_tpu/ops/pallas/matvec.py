@@ -137,3 +137,30 @@ def fused_normal_matvec(A, w, v):
         return A.T @ (w * (A @ v))
     interpret = jax.default_backend() != "tpu"
     return _fused_normal_matvec(A, w, v, interpret=interpret)
+
+
+def fused_normal_matvec_sharded(A, w, v, mesh, data_axis: str = "data"):
+    """Row-sharded Aᵀ(w∘(Av)): per-shard fused kernel + one psum.
+
+    The GSPMD partitioner cannot split a pallas_call, so the sharded
+    path wraps the kernel in `shard_map`: each device runs the
+    single-pass kernel on its row shard and the (n,) partials psum over
+    ICI — the multi-host version of the same one-A-read-per-matvec
+    property. Falls back per-shard exactly like the unsharded entry.
+    """
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(data_axis, None), P(data_axis), P()),
+        out_specs=P(),
+        # pallas out_shapes carry no varying-mesh-axes metadata
+        check_vma=False,
+    )
+    def _shard_fn(As, ws, vs):
+        return jax.lax.psum(fused_normal_matvec(As, ws, vs), data_axis)
+
+    return _shard_fn(A, w, v)

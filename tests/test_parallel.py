@@ -237,3 +237,22 @@ class TestShardedGLMPath:
             sol = scso.iterate(method, shard_problem(prob, make_mesh()),
                                "l1", sm, max_epoch=60, verbose=0)
             np.testing.assert_allclose(sol.x, ref.x, atol=1e-8)
+
+
+class TestShardedFusedMatvec:
+    def test_matches_unsharded(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from scso_tpu.ops.pallas.matvec import fused_normal_matvec_sharded
+
+        rng = np.random.default_rng(0)
+        m, n = 256, 128
+        A = rng.standard_normal((m, n))
+        w = rng.random(m)
+        v = rng.standard_normal(n)
+        mesh = make_mesh()
+        Ad = jax.device_put(jnp.asarray(A), NamedSharding(mesh, P("data", None)))
+        wd = jax.device_put(jnp.asarray(w), NamedSharding(mesh, P("data")))
+        vd = jax.device_put(jnp.asarray(v), NamedSharding(mesh, P()))
+        got = np.asarray(fused_normal_matvec_sharded(Ad, wd, vd, mesh))
+        ref = A.T @ (w * (A @ v))
+        np.testing.assert_allclose(got, ref, rtol=1e-12)

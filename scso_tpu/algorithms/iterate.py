@@ -175,9 +175,11 @@ def _record(hist: History, fval, obj, rel, objrel, prires, fvaltest, mvals):
 def _resolve_kernels(method, prob: Problem):
     """Resolve method.kernels='auto' → 'pallas'|'xla' (host-side).
 
-    Pallas kernels are used on a TPU backend with single-device data; the
-    XLA path covers CPU tests, row-sharded meshes (a pallas_call is not
-    auto-partitionable under GSPMD) and vmapped sweeps.
+    Pallas kernels are used on a TPU backend with single-device data OR
+    data row-sharded via `shard_problem` (which stamps mesh/data_axis so
+    the steps can route matvecs through the shard_map'd kernel — a bare
+    pallas_call is not GSPMD-partitionable). The XLA path covers CPU
+    tests, foreign shardings and vmapped sweeps.
     """
     if method.kernels != "auto":
         return method
@@ -185,7 +187,8 @@ def _resolve_kernels(method, prob: Problem):
     if prob.A is not None:
         sh = getattr(prob.A, "sharding", None)
         sharded = sh is not None and len(sh.device_set) > 1
-    use = jax.default_backend() == "tpu" and not sharded
+    mesh_known = getattr(prob, "mesh", None) is not None
+    use = jax.default_backend() == "tpu" and (not sharded or mesh_known)
     return dataclasses.replace(method, kernels="pallas" if use else "xla")
 
 

@@ -33,6 +33,7 @@ from scso_tpu.ops.lbfgs_core import LBFGSMemory, two_loop, update_memory
 from scso_tpu.ops.linalg import armijo_linesearch, cg_solve, inv_bb_step
 from scso_tpu.ops.pallas.matvec import (
     fused_normal_matvec,
+    fused_normal_matvec_sharded,
     supports_fused_normal_matvec,
 )
 from scso_tpu.ops.pallas.score_update import (
@@ -170,17 +171,28 @@ def _cg_tol(method, dtype):
     return max(method.cg_tol, 4.0 * float(jnp.finfo(dtype).eps))
 
 
-def _weighted_system(method, As, x, w, lhr):
+def _weighted_system(method, As, x, w, lhr, prob: Problem = None):
     """(matvec, preconditioner) from precomputed GLM weights w:
     mv(v) = Aᵀ(w∘(Av)) + λHr∘v, Jacobi M⁻¹ = 1/(diag(AᵀWA) + λHr).
 
     The fused single-pass Pallas kernel carries the matvec when shapes
-    allow, else the explicit two-matmul form (still beats jvp-of-grad's
-    three A passes). Preconditioning with λ·Hr alone is catastrophic for
-    small λ — it rescales the system by 1/λ and CG diverges in f32.
+    allow — through the shard_map wrapper when the problem's data rows
+    are mesh-sharded (shard_problem stamps mesh/data_axis) — else the
+    explicit two-matmul form (still beats jvp-of-grad's three A passes).
+    Preconditioning with λ·Hr alone is catastrophic for small λ — it
+    rescales the system by 1/λ and CG diverges in f32.
     """
     tiny = jnp.finfo(x.dtype).tiny
-    if (method.kernels == "pallas"
+    mesh = getattr(prob, "mesh", None)
+    if method.kernels == "pallas" and mesh is not None:
+        axis = prob.data_axis
+        shard_m = As.shape[0] // mesh.shape[axis]
+        if supports_fused_normal_matvec(shard_m, As.shape[1]):
+            mv = lambda v: fused_normal_matvec_sharded(
+                As, w, v, mesh, axis) + lhr * v
+        else:
+            mv = lambda v: As.T @ (w * (As @ v)) + lhr * v
+    elif (method.kernels == "pallas"
             and supports_fused_normal_matvec(*As.shape)):
         mv = lambda v: fused_normal_matvec(As, w, v) + lhr * v
     else:
@@ -198,7 +210,7 @@ def _glm_cg_system(method, prob: Problem, As, ys, x, lhr, weight_fn,
     tiny = jnp.finfo(x.dtype).tiny
     if weight_fn is not None and prob.has_data and As.ndim == 2:
         w = weight_fn(As, ys, x)
-        return _weighted_system(method, As, x, w, lhr)
+        return _weighted_system(method, As, x, w, lhr, prob)
     mv = lambda v: hvp_fallback(v) + lhr * v
     M_inv = lambda v: v / jnp.maximum(lhr, tiny)
     return mv, M_inv
@@ -244,7 +256,7 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
         lhr = lam * Hr_diag
         if use_glm:
             w = prob.glm.hvp_w(ys, z)
-            mv, M_inv = _weighted_system(method, As, x, w, lhr)
+            mv, M_inv = _weighted_system(method, As, x, w, lhr, prob)
         else:
             mv, M_inv = _glm_cg_system(method, prob, As, ys, x, lhr,
                                        prob.hvp_w,
@@ -343,7 +355,7 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
             sp = g.dlink(z)
             w = sp * sp * g.qdiag(ys, g.link(z))
         b = -(As.T @ rw + lam * gr)
-        mv, M_inv = _weighted_system(method, As, x, w, lhr)
+        mv, M_inv = _weighted_system(method, As, x, w, lhr, prob)
     else:
         yhat, residual, q_diag = prob.ggn_residual_qdiag(As, ys, x)
         _, jt = prob.vjp_out(As, x)

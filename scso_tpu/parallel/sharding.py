@@ -137,6 +137,8 @@ def shard_problem(prob: Problem, mesh: Mesh,
         lb=put_rep(prob.lb),
         ub=put_rep(prob.ub),
         groups=replicate(prob.groups, mesh),
+        mesh=mesh,
+        data_axis=data_axis,
     )
 
 

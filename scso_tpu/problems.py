@@ -108,6 +108,11 @@ class Problem:
     hvp_w: Optional[Callable] = static_field(default=None)
     ggn_w: Optional[Callable] = static_field(default=None)
     glm: Optional[GLMSpec] = static_field(default=None)
+    # set by parallel.shard_problem: the mesh/axis the data rows are
+    # sharded over (static — jax.sharding.Mesh is hashable), letting the
+    # steps route matvecs through the shard_map'd fused kernel
+    mesh: Optional[object] = static_field(default=None)
+    data_axis: Optional[str] = static_field(default=None)
     name: Optional[str] = static_field(default=None)
     has_data: bool = static_field(default=False)
 

@@ -256,3 +256,22 @@ class TestShardedFusedMatvec:
         got = np.asarray(fused_normal_matvec_sharded(Ad, wd, vd, mesh))
         ref = A.T @ (w * (A @ v))
         np.testing.assert_allclose(got, ref, rtol=1e-12)
+
+    def test_full_sharded_pallas_solve(self):
+        """kernels='pallas' on a row-sharded problem routes CG matvecs
+        through the shard_map'd fused kernel inside the while_loop and
+        must match the XLA sharded solve."""
+        A, y, x0, _ = synthetic.make_sparse_logreg_data(
+            64, 128, density=0.3, n_active=8, seed=4, dtype=np.float64,
+            label01=True)
+        prob = scso.Problem(
+            A, y, x0, losses.logistic01_f, 1e-2,
+            grad_fx=losses.logistic01_grad,
+            glm=losses.LOGISTIC01_GLM, dtype=np.float64)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        sprob = shard_problem(prob, make_mesh())
+        ref = scso.iterate(scso.ProxGGNSCORE(solver="cg", kernels="xla"),
+                           sprob, "l1", sm, max_epoch=40, verbose=0)
+        sol = scso.iterate(scso.ProxGGNSCORE(solver="cg", kernels="pallas"),
+                           sprob, "l1", sm, max_epoch=40, verbose=0)
+        np.testing.assert_allclose(sol.x, ref.x, atol=1e-7)

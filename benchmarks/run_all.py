@@ -12,7 +12,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# allow `python benchmarks/run_all.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -80,9 +80,11 @@ def main():
     method = scso.ProxGGNSCORE(solver="cg", cg_tol=1e-6, cg_maxiter=100)
     sm = scso.PHuberSmootherL1L2(1.0)
     # stats_every=4: the per-epoch stats pass (full-data fval) is ~half
-    # the epoch cost; amortizing it trades ≤3 extra epochs at stop time
+    # the epoch cost; amortizing it trades ≤3 extra epochs at stop time.
+    # alpha=1 (full damped steps): ss=0.5 default costs ~1.7x the epochs
+    # on this problem family (SCORE damping alone suffices for GGN here).
     solve_kw = dict(x_tol=1e-12, f_tol=GAP, max_epoch=CHUNK, verbose=0,
-                    stats_every=4)
+                    stats_every=4, alpha=1.0)
 
     run = lambda p: scso.iterate(method, p, "l1", sm, **solve_kw)
 

@@ -31,6 +31,7 @@ from jax import lax
 from scso_tpu.algorithms.methods import ProxGGNSCORE, ProxLQNSCORE, ProxNSCORE
 from scso_tpu.ops.lbfgs_core import LBFGSMemory, two_loop, update_memory
 from scso_tpu.ops.linalg import armijo_linesearch, cg_solve, inv_bb_step
+from scso_tpu.ops.pallas.glm_prep import fused_glm_prep
 from scso_tpu.ops.pallas.matvec import (
     fused_normal_matvec,
     fused_normal_matvec_sharded,

@@ -59,6 +59,10 @@ class GLMSpec(NamedTuple):
     gres: Callable
     ggn_rw: Optional[Callable] = None
     ggn_w: Optional[Callable] = None
+    #: True ⇒ the residual/weight fns divide by z.shape[0] (the 1/m loss
+    #: normalization). Required so tiled kernels (which see per-tile
+    #: shapes) can rescale to the true m — see ops/pallas/glm_prep.
+    sample_normalized: bool = True
 
 
 @pytree_dataclass

@@ -312,3 +312,36 @@ class TestSaturationStability:
         np.testing.assert_allclose(np.asarray(g.ggn_rw(y, z)),
                                    np.asarray(sp * g.res(y, yhat)),
                                    rtol=1e-10)
+
+
+class TestFusedGLMPrep:
+    def test_multi_tile_normalization(self):
+        """fused_glm_prep evaluates the spec fns PER TILE; the 1/m loss
+        normalization must be rescaled from the tile size to the true m
+        (regression: single-tile test shapes masked the br==m case)."""
+        import jax
+        from scso_tpu.algorithms.steps import ggn_step
+        from scso_tpu.ops.lbfgs_core import init_memory
+        from scso_tpu._src.struct import replace as dc_replace
+
+        # n=2048, f64: block rows = 256 → m=1024 gives 4 tiles
+        m, n = 1024, 2048
+        A, y, x0, _ = synthetic.make_sparse_logreg_data(
+            m, n, density=0.02, n_active=16, seed=6, dtype=np.float64,
+            label01=True)
+        prob = scso.Problem(A, y, np.asarray(x0) * 0.05,
+                            losses.logistic01_f, 1e-2,
+                            grad_fx=losses.logistic01_grad,
+                            glm=losses.LOGISTIC01_GLM, dtype=np.float64)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        mem = init_memory(n, 1, np.float64)
+
+        def step(kernels):
+            meth = scso.ProxGGNSCORE(solver="cg", cg_tol=1e-12,
+                                     kernels=kernels)
+            x = jnp.asarray(prob.x0)
+            return ggn_step(meth, prob, "l1", sm, prob.A, prob.y, x, x,
+                            jnp.zeros_like(x), jnp.int32(1), mem).x_new
+
+        np.testing.assert_allclose(np.asarray(step("pallas")),
+                                   np.asarray(step("xla")), atol=1e-9)

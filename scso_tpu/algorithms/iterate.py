@@ -255,9 +255,12 @@ def solve(method, prob: Problem, reg_name: str, sm, opts: Options,
     t0 = time.perf_counter()
     carry = _solve_fused(method, prob, reg_name, sm, opts, metric_fns,
                          rng_seed)
-    carry = jax.block_until_ready(carry)
-    total = time.perf_counter() - t0
-    return _to_solution(carry, prob, metric_names, total)
+    # no block_until_ready on the whole carry (per-array syncs are
+    # round-trips over a tunneled TPU) — _to_solution's single batched
+    # device_get forces completion
+    sol = _to_solution(carry, prob, metric_names, 0.0)
+    sol.times[-1:] = time.perf_counter() - t0
+    return sol
 
 
 def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
@@ -424,10 +427,19 @@ _solve_fused = jax.jit(
 
 def _to_solution(carry: Carry, prob: Problem, metric_names, total_time,
                  times=None) -> Solution:
-    n_rec = int(carry.hist.n_rec)
+    # ONE batched device→host transfer: separate np.asarray calls each
+    # pay a full round-trip (expensive over a tunneled TPU)
+    host = jax.device_get(
+        (carry.hist.n_rec, carry.x, carry.hist.obj, carry.hist.fval,
+         carry.hist.prires, carry.hist.fvaltest, carry.hist.rel,
+         carry.hist.objrel, carry.hist.metrics, carry.k, carry.cg_total)
+    )
+    (n_rec_a, x_h, obj_h, fval_h, prires_h, fvaltest_h, rel_h, objrel_h,
+     metrics_h, k_h, cg_h) = host
+    n_rec = int(n_rec_a)
     sl = lambda a: np.asarray(a)[:n_rec]
     metricvals = {
-        name: np.asarray(carry.hist.metrics[i])[:n_rec]
+        name: np.asarray(metrics_h[i])[:n_rec]
         for i, name in enumerate(metric_names)
     }
     if times is None:
@@ -435,18 +447,18 @@ def _to_solution(carry: Carry, prob: Problem, metric_names, total_time,
         if n_rec:
             times[-1] = total_time
     has_test = prob.Atest is not None and prob.ytest is not None
-    total_cg = int(carry.cg_total)
+    total_cg = int(cg_h)
     return Solution(
-        x=np.asarray(carry.x),
-        obj=sl(carry.hist.obj),
-        fval=sl(carry.hist.fval),
-        pri_res_norm=sl(carry.hist.prires),
-        fvaltest=sl(carry.hist.fvaltest) if has_test else np.zeros((0,)),
-        rel=sl(carry.hist.rel),
-        objrel=sl(carry.hist.objrel),
+        x=np.asarray(x_h),
+        obj=sl(obj_h),
+        fval=sl(fval_h),
+        pri_res_norm=sl(prires_h),
+        fvaltest=sl(fvaltest_h) if has_test else np.zeros((0,)),
+        rel=sl(rel_h),
+        objrel=sl(objrel_h),
         metricvals=metricvals,
         times=np.asarray(times),
-        epochs=int(carry.k),
+        epochs=int(k_h),
         model=prob,
         cg_info={"total_cg_iters": total_cg} if total_cg else None,
     )

@@ -34,6 +34,7 @@ from scso_tpu.algorithms.methods import (
     ProximalMethod,
 )
 from scso_tpu.algorithms.iterate import Options, Solution, iterate, solve
+from scso_tpu.algorithms.mixed import iterate_mixed
 from scso_tpu.ops import smoothers as _smoothers
 from scso_tpu.ops.groups import (
     Groups,
@@ -111,6 +112,7 @@ __all__ = [
     "CompositeProblem",
     "make_problem",
     "iterate",
+    "iterate_mixed",
     "solve",
     "Options",
     "Solution",

@@ -32,7 +32,7 @@ def test_m_equals_one_data_problem():
                        scso.PHuberSmootherL1L2(0.1), alpha=1.0,
                        max_epoch=300, verbose=0)
     # underdetermined least squares: the data residual must vanish
-    assert abs(float(A @ sol.x) - 1.0) < 1e-2
+    assert abs(float((A @ sol.x)[0]) - 1.0) < 1e-2
 
 
 def test_invalid_reg_name():

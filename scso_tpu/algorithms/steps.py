@@ -345,18 +345,43 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
         # saturates (logistic at |z| > 17), which silently zeroes CG
         # (NaN fails the residual test at iteration 0).
         g = prob.glm
-        z = As @ x
-        if g.ggn_rw is not None:
-            rw = g.ggn_rw(ys, z)
+        m_total = As.shape[0]
+
+        def _norm_fix(val, zb):
+            # spec fns normalize by their input length; inside a tiled
+            # kernel that's the TILE size — rescale to the true m
+            # (contract: GLMSpec.sample_normalized)
+            if g.sample_normalized and zb.shape[0] != m_total:
+                return val * (zb.shape[0] / m_total)
+            return val
+
+        def rw_fn(yb, zb):
+            if g.ggn_rw is not None:
+                return _norm_fix(g.ggn_rw(yb, zb), zb)
+            return _norm_fix(g.dlink(zb) * g.res(yb, g.link(zb)), zb)
+
+        def w_fn(yb, zb):
+            if g.ggn_w is not None:
+                return _norm_fix(g.ggn_w(yb, zb), zb)
+            sp = g.dlink(zb)
+            return _norm_fix(sp * sp * g.qdiag(yb, g.link(zb)), zb)
+
+        if (method.kernels == "pallas"
+                and getattr(prob, "mesh", None) is None
+                and supports_fused_normal_matvec(*As.shape)):
+            # ONE pass over A for z + RHS pullback + Jacobi diagonal
+            w, b_raw, hdiag_raw = fused_glm_prep(As, ys, x, rw_fn, w_fn)
+            b = -(b_raw + lam * gr)
+            tiny = jnp.finfo(x.dtype).tiny
+            hdiag = hdiag_raw + lhr
+            mv = lambda v: fused_normal_matvec(As, w, v) + lhr * v
+            M_inv = lambda v: v / jnp.maximum(hdiag, tiny)
         else:
-            rw = g.dlink(z) * g.res(ys, g.link(z))
-        if g.ggn_w is not None:
-            w = g.ggn_w(ys, z)
-        else:
-            sp = g.dlink(z)
-            w = sp * sp * g.qdiag(ys, g.link(z))
-        b = -(As.T @ rw + lam * gr)
-        mv, M_inv = _weighted_system(method, As, x, w, lhr, prob)
+            z = As @ x
+            rw = rw_fn(ys, z)
+            w = w_fn(ys, z)
+            b = -(As.T @ rw + lam * gr)
+            mv, M_inv = _weighted_system(method, As, x, w, lhr, prob)
     else:
         yhat, residual, q_diag = prob.ggn_residual_qdiag(As, ys, x)
         _, jt = prob.vjp_out(As, x)

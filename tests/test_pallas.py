@@ -345,3 +345,37 @@ class TestFusedGLMPrep:
 
         np.testing.assert_allclose(np.asarray(step("pallas")),
                                    np.asarray(step("xla")), atol=1e-9)
+
+    def test_prep_kernel_actually_engages(self):
+        """Spy check: the fused prep kernel must be CALLED on the pallas
+        GGN path (regression: a silent no-op edit once left the import in
+        place but never wired the branch, and the parity test passed
+        vacuously)."""
+        from scso_tpu.algorithms import steps as steps_mod
+        from scso_tpu.algorithms.steps import ggn_step
+        from scso_tpu.ops.lbfgs_core import init_memory
+
+        calls = []
+        orig = steps_mod.fused_glm_prep
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        steps_mod.fused_glm_prep = spy
+        try:
+            m, n = 64, 128
+            A, y, x0, _ = synthetic.make_sparse_logreg_data(
+                m, n, density=0.3, n_active=8, seed=6, dtype=np.float64,
+                label01=True)
+            prob = scso.Problem(A, y, x0, losses.logistic01_f, 1e-2,
+                                glm=losses.LOGISTIC01_GLM, dtype=np.float64)
+            sm = scso.PHuberSmootherL1L2(1.0)
+            mem = init_memory(n, 1, np.float64)
+            meth = scso.ProxGGNSCORE(solver="cg", kernels="pallas")
+            x = jnp.asarray(prob.x0)
+            ggn_step(meth, prob, "l1", sm, prob.A, prob.y, x, x,
+                     jnp.zeros_like(x), jnp.int32(1), mem)
+        finally:
+            steps_mod.fused_glm_prep = orig
+        assert calls, "fused_glm_prep was never invoked on the pallas path"

@@ -83,7 +83,9 @@ def _make_kernel(rw_fn, w_fn, acc_dtype):
 def _fused_glm_prep(A, y, x, rw_fn, w_fn, interpret=False):
     m, n = A.shape
     dt = x.dtype
-    br = _pick_block_rows(m, n, A.dtype.itemsize)
+    # halve the matvec kernel's block: the a*a squared tile is an extra
+    # tile-sized VMEM buffer (full-size blocks OOM scoped VMEM by ~1.4MB)
+    br = max(8, (_pick_block_rows(m, n, A.dtype.itemsize) // 2 // 8) * 8)
     pad = (-m) % br
     if pad:
         A = jnp.concatenate([A, jnp.zeros((pad, n), A.dtype)])

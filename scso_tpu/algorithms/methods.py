@@ -66,6 +66,9 @@ class ProxGGNSCORE:
     cg_tol: float = 1e-8
     cg_maxiter: int = 250
     kernels: str = "auto"
+    # opt-in single-pass epoch-prep kernel (ops/pallas/glm_prep) — XLA's
+    # own fusion of the z/b/hdiag passes measured faster on v5e
+    use_fused_prep: bool = False
     name: str = "prox-ggnscore"
     label: str = "Prox-GGN-SCORE"
 

@@ -366,7 +366,11 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
             sp = g.dlink(zb)
             return _norm_fix(sp * sp * g.qdiag(yb, g.link(zb)), zb)
 
-        if (method.kernels == "pallas"
+        # MEASURED on v5e at 524288×1024: XLA already fuses the z/b/hdiag
+        # passes into ~5.7 ms/epoch of multiply-reduce fusions, while the
+        # Mosaic prep kernel (halved tiles for the a*a buffer) costs more
+        # (bench 1.31 s vs 1.15 s) — so the fused prep is OPT-IN.
+        if (method.use_fused_prep and method.kernels == "pallas"
                 and getattr(prob, "mesh", None) is None
                 and supports_fused_normal_matvec(*As.shape)):
             # ONE pass over A for z + RHS pullback + Jacobi diagonal

@@ -338,7 +338,7 @@ class TestFusedGLMPrep:
 
         def step(kernels):
             meth = scso.ProxGGNSCORE(solver="cg", cg_tol=1e-12,
-                                     kernels=kernels)
+                                     kernels=kernels, use_fused_prep=True)
             x = jnp.asarray(prob.x0)
             return ggn_step(meth, prob, "l1", sm, prob.A, prob.y, x, x,
                             jnp.zeros_like(x), jnp.int32(1), mem).x_new
@@ -372,7 +372,8 @@ class TestFusedGLMPrep:
                                 glm=losses.LOGISTIC01_GLM, dtype=np.float64)
             sm = scso.PHuberSmootherL1L2(1.0)
             mem = init_memory(n, 1, np.float64)
-            meth = scso.ProxGGNSCORE(solver="cg", kernels="pallas")
+            meth = scso.ProxGGNSCORE(solver="cg", kernels="pallas",
+                                     use_fused_prep=True)
             x = jnp.asarray(prob.x0)
             ggn_step(meth, prob, "l1", sm, prob.A, prob.y, x, x,
                      jnp.zeros_like(x), jnp.int32(1), mem)

@@ -40,7 +40,7 @@ _TILE_BYTES = 4 * 1024 * 1024
 _MAX_N = 1 << 18  # (n,) vectors above this blow the VMEM accumulator
 
 
-def _make_kernel(acc_dtype):
+def _make_kernel(br: int, acc_dtype):  # br kept for cache keying
     def _kernel(a_ref, w_ref, v_ref, out_ref, acc_ref):
         i = pl.program_id(0)
 
@@ -76,10 +76,10 @@ def _pick_block_rows(m: int, n: int, itemsize: int) -> int:
     # for narrow dtypes, the in-register f32 upcast copy (4 bytes) — a
     # bf16 tile budgeted on storage alone OOMs scoped VMEM by ~4 MB.
     eff = 2 * itemsize + (4 if itemsize < 4 else 0)
-    br = max(8, 2 * _TILE_BYTES // max(1, n * eff))
-    br = min(br, m)
-    # round down to a multiple of 8 (f32 sublane tile)
-    return max(8, (br // 8) * 8)
+    br = max(128, 2 * _TILE_BYTES // max(1, n * eff))
+    br = min(br, max(128, m))
+    # multiple of 128 so the (BR/128, 128) weight layout stays exact
+    return max(128, (br // 128) * 128)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -99,7 +99,7 @@ def _fused_normal_matvec(A, w, v, interpret=False):
     acc_dtype = jnp.float64 if A.dtype == jnp.float64 else jnp.float32
 
     out = pl.pallas_call(
-        _make_kernel(acc_dtype),
+        _make_kernel(br, acc_dtype),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((br, n), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -294,3 +294,35 @@ class TestStatsEvery:
         # history is sparser but endpoints agree
         assert len(s4.obj) < len(s1.obj)
         np.testing.assert_allclose(s4.obj[-1], s1.obj[-1], atol=1e-12)
+
+
+class TestBatchingSemantics:
+    def test_slice_samples_forces_bs1(self):
+        """slice_samples=True iterates single samples (iterate.jl:139-141);
+        untested in the reference (its 'slice_samples' testset never
+        passes the kwarg — SURVEY.md §4)."""
+        model = make_log_problem()
+        sol = scso.iterate(scso.ProxNSCORE(), model, "l1",
+                           scso.PHuberSmootherL1L2(MU), slice_samples=True,
+                           max_epoch=100, verbose=0)
+        assert sol.rel[-1] <= 1e-2
+
+    def test_shuffle_determinism(self):
+        """Same rng_seed ⇒ identical batched trajectories."""
+        model = make_log_problem()
+        kw = dict(batch_size=1, max_epoch=20, verbose=0)
+        s1 = scso.iterate(scso.ProxLQNSCORE(), model, "l1",
+                          scso.PHuberSmootherL1L2(MU), rng_seed=3, **kw)
+        s2 = scso.iterate(scso.ProxLQNSCORE(), model, "l1",
+                          scso.PHuberSmootherL1L2(MU), rng_seed=3, **kw)
+        s3 = scso.iterate(scso.ProxLQNSCORE(), model, "l1",
+                          scso.PHuberSmootherL1L2(MU), rng_seed=4, **kw)
+        np.testing.assert_array_equal(s1.x, s2.x)
+        assert not np.array_equal(s1.x, s3.x)
+
+    def test_no_shuffle_batches(self):
+        model = make_log_problem()
+        sol = scso.iterate(scso.ProxNSCORE(), model, "l1",
+                           scso.PHuberSmootherL1L2(MU), batch_size=1,
+                           shuffle_batch=False, max_epoch=100, verbose=0)
+        assert sol.rel[-1] <= 1e-2

@@ -118,8 +118,8 @@ def _pipelined(A, w, v, interpret=False):
     out = pl.pallas_call(
         _make_kernel(n_chunks, chunk_rows, acc_dtype),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # A stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),    # w streamed from HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # A stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # w streamed from HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),   # v (1, n)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -22,11 +22,10 @@ methods, per SURVEY.md §7 step 5.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from scso_tpu.algorithms.methods import ProxGGNSCORE, ProxLQNSCORE, ProxNSCORE
 from scso_tpu.ops.lbfgs_core import LBFGSMemory, two_loop, update_memory

@@ -40,3 +40,8 @@ def test_scaleout():
     res = run("05_scaleout")
     assert res.batch_size == 8
     assert np.all(np.isfinite(res.obj))
+
+
+def test_checkpoint_profile():
+    sol = run("06_checkpoint_profile")
+    assert sol.obj[-1] <= sol.obj[0]

@@ -44,6 +44,15 @@ class Groups:
     n_groups: int = static_field()
     n: int = static_field()
 
+    @property
+    def sizes(self) -> jax.Array:
+        """int[n_groups] — elements per group (reference ``grpSIZES``,
+        prox-reg-utils.jl:12)."""
+        return jax.ops.segment_sum(
+            jnp.ones_like(self.segment_ids), self.segment_ids,
+            num_segments=self.n_groups,
+        )
+
 
 def make_groups(segment_ids, weights=None, *, n_groups=None, dtype=None) -> Groups:
     """Build a :class:`Groups` from a segment-id vector.

@@ -527,9 +527,10 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
     name, label = method.display()
 
     def record(xc, pri_c):
-        fval, obj, rel, objrel, raw_frel, ftst, _ = [
-            np.asarray(v) for v in stats_fn(prob, xc)
-        ]
+        # ONE device_get — per-value np.asarray costs a round-trip each
+        # on a tunneled TPU
+        fval, obj, rel, objrel, raw_frel, ftst, _ = jax.device_get(
+            stats_fn(prob, xc))
         recs["fval"].append(float(fval))
         recs["obj"].append(float(obj))
         recs["rel"].append(float(rel))

@@ -328,10 +328,11 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
                       d_prev=None):
     """Matrix-free GGN-CG direction (the scalable TPU path).
 
-    Solves the primal system (JᵀQJ + λ·diag(Hr)) d = −(Jᵀr + λ·gr) with
-    J applied via jvp/vjp of out_fn and Q as its diagonal (elementwise
-    losses) — no J, Q or normal matrix is ever materialized. Jacobi
-    preconditioning by the smoother-Hessian diagonal. On a row-sharded
+    Solves the primal system (JᵀQJ + λ·diag(Hr)) d = −(Jᵀr + λ·gr)
+    matrix-free: GLM problems derive everything from one linear-predictor
+    pass (saturation-stable forms); others apply J via jvp/vjp of out_fn
+    with diagonal Q. Jacobi preconditioning by diag(AᵀWA) + λ·Hr, CG
+    warm-started from the previous epoch's direction. On a row-sharded
     mesh each matvec psums partial sums over the data axis.
     """
     lhr = lam * Hr_diag

@@ -126,7 +126,10 @@ def _fused_update(x, d, lgr, hr, lb, ub, lam, ss, Mg, reg, interpret):
     scal = jnp.stack([jnp.asarray(lam, dt), jnp.asarray(ss, dt),
                       jnp.asarray(Mg, dt)])
 
-    blk = lambda: pl.BlockSpec((br, _LANES), lambda ph, c: (c * ph, 0),
+    # Block index depends only on c so phase 0 streams EVERY block for the
+    # eta² reduction (a `c * ph` map would pin all of phase 0 to block 0 and
+    # sum block 0 nc times — wrong damping whenever nc > 1, i.e. n > 8192).
+    blk = lambda: pl.BlockSpec((br, _LANES), lambda ph, c: (c, 0),
                                memory_space=pltpu.VMEM)
     xnew, stats = pl.pallas_call(
         _make_kernel(reg, acc_dtype),
@@ -136,7 +139,7 @@ def _fused_update(x, d, lgr, hr, lb, ub, lam, ss, Mg, reg, interpret):
             blk(), blk(), blk(), blk(), blk(), blk(),
         ],
         out_specs=(
-            pl.BlockSpec((br, _LANES), lambda ph, c: (c * ph, 0),
+            pl.BlockSpec((br, _LANES), lambda ph, c: (c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),

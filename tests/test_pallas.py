@@ -45,6 +45,27 @@ class TestFusedNormalMatvec:
         np.testing.assert_allclose(np.asarray(got),
                                    np.asarray(A.T @ (w * (A @ v))))
 
+    def test_multi_row_block_grid(self):
+        """Row counts that straddle the VMEM-budget block size: f64 n=2048
+        gives block_rows=256, so m ∈ {256, 257, 600, 1024} covers exactly-
+        one-block, one-past-boundary, ragged-multi-block and exact-multi-
+        block grids. Guards the accumulator across sequential grid steps."""
+        from scso_tpu.ops.pallas.matvec import _pick_block_rows
+
+        n = 2048
+        br = _pick_block_rows(10**6, n, 8)
+        assert br == 256  # test premise: multi-block at the m values below
+        rng = np.random.default_rng(14)
+        for m in (br, br + 1, 600, 4 * br):
+            A = jnp.asarray(rng.standard_normal((m, n)))
+            w = jnp.asarray(rng.random(m))
+            v = jnp.asarray(rng.standard_normal(n))
+            assert supports_fused_normal_matvec(m, n)
+            got = fused_normal_matvec(A, w, v)
+            ref = A.T @ (w * (A @ v))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-10, atol=1e-10)
+
     def test_glm_weights_match_hvp(self):
         """Aᵀ(hvp_w∘(Av)) must equal the AD Hessian-vector product."""
         rng = np.random.default_rng(2)
@@ -85,10 +106,14 @@ class TestFusedNormalMatvec:
 
 
 class TestFusedScoreUpdate:
+    # n values straddle the 64×128 = 8192-element block: 1000 (single
+    # partial block), 8192 (exactly one block), 8320/16384/131072 (multi-
+    # block, nc > 1 — regression for the phase-0 index map that pinned the
+    # η² reduction to block 0 and mis-damped every n > 8192 solve)
+    @pytest.mark.parametrize("n", [1000, 8192, 8320, 16384, 131072])
     @pytest.mark.parametrize("reg", ["l1", "l2", "indbox"])
-    def test_matches_jnp_tail(self, reg):
+    def test_matches_jnp_tail(self, reg, n):
         rng = np.random.default_rng(6)
-        n = 1000
         x = jnp.asarray(rng.standard_normal(n))
         d = jnp.asarray(rng.standard_normal(n))
         mu, lam, ss = 0.8, 0.05, 0.5
@@ -108,9 +133,9 @@ class TestFusedScoreUpdate:
         got, pri, safe_got = fused_score_update(
             x, d, lgr, hr, lam, ss, Mg, reg, lb=lb, ub=ub)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   atol=1e-14)
-        assert float(pri) == pytest.approx(float(pri_ref), abs=1e-12)
-        assert float(safe_got) == pytest.approx(float(safe), abs=1e-14)
+                                   atol=1e-13)
+        assert float(pri) == pytest.approx(float(pri_ref), rel=1e-12)
+        assert float(safe_got) == pytest.approx(float(safe), rel=1e-12)
 
     def test_no_prox(self):
         rng = np.random.default_rng(7)
@@ -193,6 +218,24 @@ class TestFusedTwoLoop:
         got = fused_two_loop(mem, g)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-12, atol=1e-12)
+
+    def test_large_n_lane_padding(self):
+        """n ≫ one 8×128 tile with ragged lane padding (n = 16500)."""
+        from scso_tpu.ops.lbfgs_core import init_memory, two_loop, update_memory
+        from scso_tpu.ops.pallas.two_loop import fused_two_loop
+
+        rng = np.random.default_rng(15)
+        n, m = 16500, 4
+        mem = init_memory(n, m, np.float64)
+        for i in range(3):
+            delta = jnp.asarray(rng.standard_normal(n) * 0.1)
+            gamma = delta * (1.0 + 0.1 * i) + 0.01 * jnp.asarray(
+                rng.standard_normal(n))
+            mem = update_memory(mem, delta, gamma)
+        g = jnp.asarray(rng.standard_normal(n))
+        np.testing.assert_allclose(np.asarray(fused_two_loop(mem, g)),
+                                   np.asarray(two_loop(mem, g)),
+                                   rtol=1e-11, atol=1e-11)
 
     def test_empty_memory(self):
         from scso_tpu.ops.lbfgs_core import init_memory

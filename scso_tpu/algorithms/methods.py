@@ -27,12 +27,14 @@ class ProxNSCORE:
 
     ``solver``: 'dense' reproduces the reference's direct solve
     (H + λ·diag(Hr)) \\ ∇q (prox-N-SCORE.jl:70); 'cg' runs matrix-free
-    Newton-CG on HVPs (the scalable TPU path).
+    Newton-CG on HVPs (the scalable TPU path); 'auto' (default) is
+    size-aware — dense for small n (reference-oracle parity), CG once the
+    n×n factorization would dominate (warns once per shape).
     """
 
     ss_type: int = 1
     use_prox: bool = True
-    solver: str = "dense"
+    solver: str = "auto"
     cg_tol: float = 1e-8
     cg_maxiter: int = 250
     kernels: str = "auto"
@@ -51,10 +53,13 @@ class ProxGGNSCORE:
     """Proximal generalized Gauss-Newton with self-concordant regularization.
 
     ``solver``:
-      * 'auto'  — reproduce the reference's compile-time branch: dual form
-        when (m·ny + 1) <= n else primal normal equations
-        (prox-GGN-SCORE.jl:124-131); shapes are static under jit so this
-        is decided at trace time.
+      * 'auto'  — size-aware (decided at trace time; shapes are static
+        under jit). Small problems reproduce the reference's compile-time
+        branch: dual form when (m·ny + 1) <= n else primal normal
+        equations (prox-GGN-SCORE.jl:124-131 — the reference itself picks
+        the cheaper system). Once materializing the m×n Jacobian would
+        dominate, 'auto' switches to the matrix-free CG path instead of
+        silently forming J (warns once per shape).
       * 'dense_dual' / 'dense_primal' — force one dense branch.
       * 'cg'    — matrix-free CG on v ↦ Jᵀ(Q(Jv)) + λ·Hr∘v via jvp/vjp
         (the scalable multi-host path; BASELINE.json "GGN-CG").

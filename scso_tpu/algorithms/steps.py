@@ -57,6 +57,61 @@ class StepOut(NamedTuple):
     cg_iters: jax.Array = None  # CG iterations spent (0 for dense/L-BFGS)
 
 
+# solver='auto' size budgets: above these the dense branches (n×n
+# factorization / materialized m×n Jacobian) are strictly worse than the
+# matrix-free CG path on TPU — 'auto' switches and warns once per shape.
+_DENSE_NEWTON_MAX_N = 2048
+_DENSE_GGN_MAX_ELEMS = 1 << 24  # m·n budget for materializing J
+
+_warned: set = set()
+
+
+def _warn_once(key, msg):
+    if key not in _warned:
+        _warned.add(key)
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
+
+
+def _resolve_newton_solver(method, x) -> str:
+    """'auto' → 'dense' (oracle parity) or 'cg' above the n budget."""
+    if method.solver != "auto":
+        return method.solver
+    n = x.shape[-1]
+    if n > _DENSE_NEWTON_MAX_N:
+        _warn_once(
+            ("newton-auto-cg", n),
+            f"ProxNSCORE(solver='auto'): n={n} exceeds the dense budget "
+            f"({_DENSE_NEWTON_MAX_N}) — using matrix-free Newton-CG. Pass "
+            "solver='dense' to force the direct solve.",
+        )
+        return "cg"
+    return "dense"
+
+
+def _resolve_ggn_solver(method, prob, As, x) -> str:
+    """'auto' → dense dual/primal (reference branch) or 'cg' when the
+    materialized Jacobian would exceed the m·n budget AND the matrix-free
+    pieces (glm spec or out_fn for jvp/vjp) exist."""
+    if method.solver != "auto":
+        return method.solver
+    if not (prob.has_data and getattr(As, "ndim", 0) == 2):
+        return "auto"  # generic problems: keep the reference dense branch
+    m, n = As.shape[0], x.shape[-1]
+    matrix_free_ok = prob.glm is not None or prob.out_fn is not None
+    if m * n > _DENSE_GGN_MAX_ELEMS and matrix_free_ok:
+        _warn_once(
+            ("ggn-auto-cg", (m, n)),
+            f"ProxGGNSCORE(solver='auto'): J would be {m}x{n} "
+            f"(> {_DENSE_GGN_MAX_ELEMS} elements) — using matrix-free "
+            "GGN-CG. Pass solver='dense_dual'/'dense_primal' to force a "
+            "dense branch.",
+        )
+        return "cg"
+    return "auto"
+
+
 def _lam_scalar(lam):
     """λ[1] when multi-valued else λ — parity: prox-N-SCORE.jl:35-39."""
     lam = jnp.asarray(lam)
@@ -237,9 +292,10 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
     gr = sm.grad(x, cw)
     lgr = lam * gr
     Hr_diag = sm.hess_diag(x, cw)
+    solver = _resolve_newton_solver(method, x)
 
     use_glm = (prob.glm is not None and prob.has_data
-               and getattr(As, "ndim", 0) == 2 and method.solver == "cg")
+               and getattr(As, "ndim", 0) == 2 and solver == "cg")
     if use_glm:
         # single data pass for the linear predictor; gradient residual,
         # Hessian weights and the Jacobi diagonal all derive from it
@@ -249,10 +305,10 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
         gq = prob.grad_f(As, ys, x) + lgr
 
     cg_iters = jnp.int32(0)
-    if method.solver == "dense":
+    if solver == "dense":
         H = prob.hess_f(As, ys, x)
         d = -jnp.linalg.solve(H + lam * jnp.diag(Hr_diag), gq)
-    elif method.solver == "cg":
+    elif solver == "cg":
         lhr = lam * Hr_diag
         if use_glm:
             w = prob.glm.hvp_w(ys, z)
@@ -267,7 +323,7 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
         d = -res.x
         cg_iters = res.iters
     else:
-        raise ValueError(f"unknown ProxNSCORE solver {method.solver!r}")
+        raise ValueError(f"unknown ProxNSCORE solver {solver!r}")
 
     # ∇q at x_prev for BB (recomputed; the reference's Newton BB branch is
     # broken — see module docstring)
@@ -288,7 +344,7 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
 # ---------------------------------------------------------------------------
 
 
-def _ggn_dense_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam):
+def _ggn_dense_direction(solver, prob: Problem, As, ys, x, gr, Hr_diag, lam):
     """Dense GGN direction with the reference's dual/primal shape switch.
 
     Parity: ggn_score_step (prox-GGN-SCORE.jl:114-135). With the augmented
@@ -309,7 +365,6 @@ def _ggn_dense_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam):
     rt = jnp.concatenate([residual.reshape(-1), jnp.ones((1,), dt)])
     Qp = jnp.zeros((q + 1, q + 1), dt).at[:q, :q].set(Q2)
 
-    solver = method.solver
     use_dual = (q + 1 <= n) if solver == "auto" else (solver == "dense_dual")
 
     if use_dual:
@@ -408,11 +463,12 @@ def ggn_step(method: ProxGGNSCORE, prob: Problem, reg_name: str, sm,
     lgr = lam * gr
     Hr_diag = sm.hess_diag(x, cw)
 
-    if method.solver == "cg":
+    solver = _resolve_ggn_solver(method, prob, As, x)
+    if solver == "cg":
         d, cg_iters = _ggn_cg_direction(method, prob, As, ys, x, gr,
                                         Hr_diag, lam, d_prev)
     else:
-        d = _ggn_dense_direction(method, prob, As, ys, x, gr, Hr_diag, lam)
+        d = _ggn_dense_direction(solver, prob, As, ys, x, gr, Hr_diag, lam)
         cg_iters = jnp.int32(0)
 
     # composite gradients only needed for BB (ss2); GGN never forms ∇f

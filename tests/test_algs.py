@@ -324,3 +324,73 @@ class TestBatchingSemantics:
                            scso.PHuberSmootherL1L2(MU), batch_size=1,
                            shuffle_batch=False, max_epoch=100, verbose=0)
         assert sol.rel[-1] <= 1e-2
+
+
+class TestSizeAwareAuto:
+    """solver='auto' picks matrix-free CG above the dense budgets —
+    parity anchor: the reference itself picks the cheaper dense system
+    (prox-GGN-SCORE.jl:124-131); on TPU the cheaper system above the
+    budget is matrix-free CG."""
+
+    def test_newton_auto_small_is_dense(self):
+        from scso_tpu.algorithms.steps import _resolve_newton_solver
+        x = jnp.zeros((50,))
+        assert _resolve_newton_solver(scso.ProxNSCORE(), x) == "dense"
+        assert _resolve_newton_solver(
+            scso.ProxNSCORE(solver="cg"), x) == "cg"
+
+    def test_newton_auto_large_is_cg(self):
+        from scso_tpu.algorithms.steps import (
+            _DENSE_NEWTON_MAX_N, _resolve_newton_solver)
+        x = jnp.zeros((_DENSE_NEWTON_MAX_N + 1,))
+        with pytest.warns(UserWarning, match="Newton-CG"):
+            assert _resolve_newton_solver(scso.ProxNSCORE(), x) == "cg"
+        # forced dense is honored regardless of size
+        assert _resolve_newton_solver(
+            scso.ProxNSCORE(solver="dense"), x) == "dense"
+
+    def test_ggn_auto_large_is_cg(self):
+        from scso_tpu.algorithms.steps import _resolve_ggn_solver
+        from scso_tpu.models import losses
+
+        m, n = 4200, 4100  # m·n > 2^24
+        x0 = np.zeros((n,), np.float32)
+        prob = scso.Problem(np.zeros((m, n), np.float32),
+                            np.zeros((m,), np.float32), x0,
+                            losses.logistic01_f, 1e-2,
+                            glm=losses.LOGISTIC01_GLM)
+        with pytest.warns(UserWarning, match="GGN-CG"):
+            got = _resolve_ggn_solver(scso.ProxGGNSCORE(), prob, prob.A,
+                                      jnp.asarray(x0))
+        assert got == "cg"
+
+    def test_ggn_auto_without_matrix_free_pieces_stays_dense(self):
+        """No glm/out_fn → CG cannot run; auto must keep the dense branch
+        (the user gets the reference behavior, not a crash)."""
+        from scso_tpu.algorithms.steps import _resolve_ggn_solver
+        prob = make_log_problem()
+        big_A = jnp.zeros((5000, 5000))
+        assert _resolve_ggn_solver(scso.ProxGGNSCORE(), prob, big_A,
+                                   jnp.zeros((5000,))) == "auto"
+
+    def test_newton_auto_cg_matches_dense_solution(self):
+        """End-to-end: above-budget auto (→ CG, tight tol) lands on the
+        dense solution."""
+        from scso_tpu.models import losses, synthetic
+
+        m, n = 256, 2080  # n just over the dense budget
+        A, y, x0, _ = synthetic.make_sparse_logreg_data(
+            m, n, density=0.05, n_active=8, seed=1, dtype=np.float64,
+            label01=True)
+        prob = scso.Problem(A, y, x0, losses.logistic01_f, 1e-2,
+                            grad_fx=losses.logistic01_grad,
+                            hess_fx=losses.logistic01_hess,
+                            glm=losses.LOGISTIC01_GLM, dtype=np.float64)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        with pytest.warns(UserWarning, match="Newton-CG"):
+            s_auto = scso.iterate(
+                scso.ProxNSCORE(cg_tol=1e-12), prob, "l1", sm,
+                max_epoch=30, verbose=0)
+        s_dense = scso.iterate(scso.ProxNSCORE(solver="dense"), prob, "l1",
+                               sm, max_epoch=30, verbose=0)
+        np.testing.assert_allclose(s_auto.x, s_dense.x, atol=1e-8)

@@ -251,7 +251,7 @@ def solve(method, prob: Problem, reg_name: str, sm, opts: Options,
     method = _resolve_kernels(method, prob)
     if opts.mode == "timed":
         return _solve_python(method, prob, reg_name, sm, opts,
-                             metric_fns, metric_names)
+                             metric_fns, metric_names, rng_seed=rng_seed)
     t0 = time.perf_counter()
     carry = _solve_fused(method, prob, reg_name, sm, opts, metric_fns,
                          rng_seed)
@@ -320,10 +320,18 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
                 prob, reg_name, carry.x, obj_star, x_tol, f_tol, metric_fns
             )
             if opts.verbose > 1:
-                jax.debug.print(
-                    "epoch {k}  obj {o:.8e}  fval {f:.8e}  rel {r:.3e}",
-                    k=carry.k, o=obj, f=fval, r=rel,
-                )
+                # show_stat!-style block (utils/utils.jl:50-79); Δtime is
+                # host-side wall clock and unavailable on-device
+                _, label = method.display()
+                fields = ("--------------------------------\n"
+                          f"Optimizer = {label}\n"
+                          "epoch = {k}\nobj = {o}\nfval = {f}\n"
+                          "pri_res_norm = {p}\n")
+                kw = dict(k=carry.k, o=obj, f=fval, p=carry.pri_res, r=rel)
+                if prob.Atest is not None and prob.ytest is not None:
+                    fields += "fvaltest = {t}\n"
+                    kw["t"] = ftst
+                jax.debug.print(fields + "rel_error = {r}", **kw)
             return _record(carry.hist, fval, obj, rel, objrel,
                            carry.pri_res, ftst, mvals), raw_frel
 
@@ -470,17 +478,23 @@ def _to_solution(carry: Carry, prob: Problem, metric_names, total_time,
 
 
 def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
-                  metric_names):
+                  metric_names, rng_seed=0):
     """Python epoch loop around the jitted step — the observability path.
 
     Mirrors the reference's host-side loop shape (per-epoch `Dates.now()`
-    deltas, verbose printing, host metric callbacks). Full-batch only.
+    deltas, verbose printing incl. the verbose>2 per-batch progress ticks
+    of iterate.jl:212-218, host metric callbacks). Mini-batching follows
+    the same static-shape semantics as fused mode (_make_batches), with
+    the reference's inner per-batch stopping test (iterate.jl:234-252).
     """
     dt = prob.x0.dtype
     n = prob.x0.shape[-1]
     mem_m = method.m if isinstance(method, ProxLQNSCORE) else 1
     mem = init_memory(n, mem_m, dt)
     is_lbfgs = isinstance(method, ProxLQNSCORE)
+    batching = _make_batches(prob, opts, n)
+    cache_grads = is_lbfgs and batching is None
+    host_rng = np.random.default_rng(rng_seed)
 
     obj_star = prob.f_val(prob.A, prob.y, prob.x_star) + prob.reg(
         reg_name, prob.x_star
@@ -496,16 +510,16 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
     cw = _cw(prob, reg_name)
 
     @jax.jit
-    def step_fn(p, x, x_prev, gq, gq_prev, it, mem, d_prev):
+    def step_fn(p, As, ys, x, x_prev, gq, gq_prev, it, mem, d_prev):
         if isinstance(method, ProxNSCORE):
-            return newton_step(method, p, reg_name, sm, p.A, p.y,
+            return newton_step(method, p, reg_name, sm, As, ys,
                                x, x_prev, gq_prev, it, mem, d_prev=d_prev)
         if isinstance(method, ProxGGNSCORE):
-            return ggn_step(method, p, reg_name, sm, p.A, p.y,
+            return ggn_step(method, p, reg_name, sm, As, ys,
                             x, x_prev, gq_prev, it, mem, d_prev=d_prev)
-        return lbfgs_step(method, p, reg_name, sm, p.A, p.y,
+        return lbfgs_step(method, p, reg_name, sm, As, ys,
                           x, x_prev, gq_prev, it, mem,
-                          gq_cached=gq if is_lbfgs else None)
+                          gq_cached=gq if cache_grads else None)
 
     @jax.jit
     def grad_fn(p, x):
@@ -514,7 +528,7 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
     has_test = prob.Atest is not None and prob.ytest is not None
     x = prob.x0
     x_prev = prob.x0
-    gq = grad_fn(prob, x) if is_lbfgs else jnp.zeros_like(x)
+    gq = grad_fn(prob, x) if cache_grads else jnp.zeros_like(x)
     gq_prev = jnp.zeros_like(x)
     d_prev = jnp.zeros_like(x)
     pri = float("nan")
@@ -555,24 +569,50 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
                 print(f"{nm} = {mrecs[nm][-1]}")
         return float(raw_frel)
 
+    conv = False
     for epoch_t in range(1, opts.max_epoch + 1):
         raw_frel = record(x, pri)
-        out = step_fn(prob, x, x_prev, gq, gq_prev, jnp.int32(epoch_t),
-                      mem, d_prev)
-        out = jax.block_until_ready(out)
-        x_new = out.x_new
-        d_prev = out.d
-        pri = float(out.pri_res_norm)
-        conv = (
-            float(jnp.linalg.norm(x_new - x))
-            < opts.x_tol * max(float(jnp.linalg.norm(x)), 1.0)
-            or raw_frel <= opts.f_tol
-            or pri < opts.x_tol
-        )
-        x, x_prev = x_new, x
-        gq, gq_prev = out.gq_new, out.gq
-        mem = out.mem
+        if batching is None:
+            samples = [(prob.A, prob.y)]
+        else:
+            nb, bs = batching
+            m = prob.A.shape[0]
+            perm = (host_rng.permutation(m) if opts.shuffle_batch
+                    else np.arange(m))[: nb * bs]
+            samples = [
+                (prob.A[perm[i * bs:(i + 1) * bs]],
+                 prob.y[perm[i * bs:(i + 1) * bs]])
+                for i in range(nb)
+            ]
+        iend = len(samples)
+        for i, (As, ys) in enumerate(samples, start=1):
+            if opts.verbose > 2:
+                # per-batch progress ticks — parity: iterate.jl:212-218
+                if i in (1, iend) or i % 100 == 0:
+                    print(f"\n[{i}/{iend}]", end="", flush=True)
+                else:
+                    print("#", end="", flush=True)
+            out = step_fn(prob, As, ys, x, x_prev, gq, gq_prev,
+                          jnp.int32(epoch_t), mem, d_prev)
+            out = jax.block_until_ready(out)
+            x_new = out.x_new
+            d_prev = out.d
+            pri = float(out.pri_res_norm)
+            conv = (
+                float(jnp.linalg.norm(x_new - x))
+                < opts.x_tol * max(float(jnp.linalg.norm(x)), 1.0)
+                or raw_frel <= opts.f_tol
+                or pri < opts.x_tol
+            )
+            x, x_prev = x_new, x
+            gq, gq_prev = out.gq_new, out.gq
+            mem = out.mem
+            if conv:
+                # inner per-batch stopping test — parity: iterate.jl:234-252
+                break
         epochs += 1
+        if opts.verbose > 2:
+            print("\n" + "-" * 32, flush=True)
         if conv:
             break
 

@@ -394,3 +394,43 @@ class TestSizeAwareAuto:
         s_dense = scso.iterate(scso.ProxNSCORE(solver="dense"), prob, "l1",
                                sm, max_epoch=30, verbose=0)
         np.testing.assert_allclose(s_auto.x, s_dense.x, atol=1e-8)
+
+
+class TestTimedModeBatching:
+    def test_timed_batched_matches_fused_no_shuffle(self):
+        """Timed mode supports mini-batching with the same static-shape
+        semantics as fused mode; with shuffle off the trajectories are
+        identical (shuffle permutations come from different RNGs)."""
+        model = make_log_problem()
+        kw = dict(batch_size=1, shuffle_batch=False, max_epoch=30,
+                  verbose=0)
+        s_f = scso.iterate(scso.ProxNSCORE(), model, "l1",
+                           scso.PHuberSmootherL1L2(MU), **kw)
+        s_t = scso.iterate(scso.ProxNSCORE(), model, "l1",
+                           scso.PHuberSmootherL1L2(MU), mode="timed", **kw)
+        np.testing.assert_allclose(s_t.x, s_f.x, atol=1e-12)
+        assert s_t.epochs == s_f.epochs
+
+    def test_timed_batched_shuffled_converges(self):
+        model = make_log_problem()
+        sol = scso.iterate(scso.ProxLQNSCORE(), model, "l1",
+                           scso.PHuberSmootherL1L2(MU), batch_size=1,
+                           max_epoch=100, verbose=0, mode="timed")
+        assert sol.rel[-1] <= 1e-2
+        assert len(sol.times) == len(sol.obj)
+
+    def test_timed_zero_max_epoch(self):
+        """Regression: epoch loop never running left `conv` unbound."""
+        model = make_log_problem()
+        sol = scso.iterate(scso.ProxNSCORE(), model, "l1",
+                           scso.PHuberSmootherL1L2(MU), max_epoch=0,
+                           verbose=2, mode="timed")
+        assert sol.epochs == 0
+
+    def test_timed_verbose3_ticks(self, capsys):
+        model = make_log_problem()
+        scso.iterate(scso.ProxNSCORE(), model, "l1",
+                     scso.PHuberSmootherL1L2(MU), batch_size=1,
+                     max_epoch=2, verbose=3, mode="timed")
+        out = capsys.readouterr().out
+        assert "[1/5]" in out  # per-batch progress — iterate.jl:212-218

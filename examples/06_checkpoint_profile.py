@@ -33,19 +33,27 @@ def main():
     sm = scso.PHuberSmootherL1L2(1.0)
     method = scso.ProxGGNSCORE(solver="cg")
 
-    # 1. partial solve → checkpoint → resume
+    # 1. partial solve → full-state checkpoint → bit-identical resume
+    # (sol.state is the complete while_loop carry: iterate, grad caches,
+    #  CG warm start, L-BFGS memory, histories, RNG key)
     with trace_phase("partial-solve"):
         part = scso.iterate(method, prob, "l1", sm, max_epoch=20,
                             verbose=0, alpha=1.0)
     ckpt = Path(tempfile.mkdtemp()) / "solver_state.npz"
-    save_state(str(ckpt), {"x": part.x})
+    save_state(str(ckpt), part.state)
     print(f"checkpointed at epoch {part.epochs}: obj={part.obj[-1]:.8f}")
 
-    x_resumed = load_state(str(ckpt), template={"x": part.x})["x"]
-    resumed = scso.iterate(
-        method, dc_replace(prob, x0=jnp.asarray(x_resumed)), "l1", sm,
-        max_epoch=200, verbose=0, alpha=1.0)
-    print(f"resumed +{resumed.epochs} epochs: obj={resumed.obj[-1]:.8f}")
+    state = load_state(str(ckpt), template=part.state)
+    resumed = scso.iterate(method, prob, "l1", sm, max_epoch=200,
+                           verbose=0, alpha=1.0, resume_state=state)
+    print(f"resumed to epoch {resumed.epochs}: obj={resumed.obj[-1]:.8f}")
+
+    # warm start (x only) remains available for changed problems/methods
+    x_warm = jnp.asarray(np.asarray(part.x))
+    warm = scso.iterate(scso.ProxLQNSCORE(), dc_replace(prob, x0=x_warm),
+                        "l1", sm, max_epoch=50, verbose=0)
+    print(f"warm-started L-BFGS: {warm.epochs} epochs, "
+          f"obj={warm.obj[-1]:.8f}")
 
     # 2. chunked solve with snapshot-based failure recovery
     rec = solve_with_recovery(method, prob, "l1", sm, chunk_epochs=25,

@@ -113,6 +113,10 @@ class Solution:
     epochs: int
     model: Problem
     cg_info: Optional[dict] = None
+    #: full solver state (the while_loop Carry: iterate, gradient caches,
+    #: CG warm start, L-BFGS memory, histories, RNG key) — serialize with
+    #: utils.checkpoint.save_state, resume via iterate(resume_state=...)
+    state: Any = None
 
     def __repr__(self):
         # compact — the reference silences Solution printing entirely
@@ -241,20 +245,24 @@ def _make_batches(prob: Problem, opts: Options, n_dim: int):
 
 def solve(method, prob: Problem, reg_name: str, sm, opts: Options,
           metric_fns: tuple = (), metric_names: tuple = (),
-          alpha=None, rng_seed: int = 0):
+          alpha=None, rng_seed: int = 0, resume_state=None):
     """Run one solve; returns a :class:`Solution`.
 
     `method`, `reg_name`, `opts` and the metric fns are static; `prob` and
     `sm` are pytrees — so sweeps can vmap over their leaves (λ, μ, data).
+    ``resume_state`` is a previously returned ``Solution.state`` (or a
+    checkpoint loaded onto one): the solve continues from the exact
+    while_loop carry — bit-identical to an uninterrupted run.
     """
     prob = _effective_L(prob, alpha)
     method = _resolve_kernels(method, prob)
     if opts.mode == "timed":
         return _solve_python(method, prob, reg_name, sm, opts,
-                             metric_fns, metric_names, rng_seed=rng_seed)
+                             metric_fns, metric_names, rng_seed=rng_seed,
+                             resume_state=resume_state)
     t0 = time.perf_counter()
     carry = _solve_fused(method, prob, reg_name, sm, opts, metric_fns,
-                         rng_seed)
+                         rng_seed, resume_state)
     # no block_until_ready on the whole carry (per-array syncs are
     # round-trips over a tunneled TPU) — _to_solution's single batched
     # device_get forces completion
@@ -264,7 +272,8 @@ def solve(method, prob: Problem, reg_name: str, sm, opts: Options,
 
 
 def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
-                      opts: Options, metric_fns, rng_seed) -> Carry:
+                      opts: Options, metric_fns, rng_seed,
+                      resume: Optional[Carry] = None) -> Carry:
     dt = prob.x0.dtype
     n = prob.x0.shape[-1]
     x_tol = jnp.asarray(opts.x_tol, dt)
@@ -305,14 +314,40 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
     gq0 = (composite_grad(prob.A, prob.y, prob.x0)
            if cache_grads else jnp.zeros_like(prob.x0))
 
-    carry0 = Carry(
-        x=prob.x0, x_prev=prob.x0, gq=gq0, gq_prev=jnp.zeros_like(prob.x0),
-        d_prev=jnp.zeros_like(prob.x0), cg_total=jnp.int32(0),
-        frel=jnp.asarray(jnp.inf, dt),
-        k=jnp.int32(0), pri_res=jnp.asarray(jnp.nan, dt),
-        done=jnp.asarray(False), mem=mem0, hist=hist0,
-        key=jax.random.PRNGKey(rng_seed),
-    )
+    if resume is not None:
+        # Continue from the saved while_loop carry as if never stopped.
+        # The saved run ended with a "final record" of the terminating
+        # iterate; the resumed loop's next epoch re-records the exact
+        # same values, so rewind n_rec by one — histories then bit-match
+        # an uninterrupted run. Buffers are refit to the new cap.
+        rh = resume.hist
+
+        def fit(a, fill=0.0):
+            pad = cap - a.shape[-1]
+            if pad > 0:
+                return jnp.concatenate(
+                    [a, jnp.full(a.shape[:-1] + (pad,), fill, a.dtype)],
+                    axis=-1)
+            return a[..., :cap] if pad < 0 else a
+
+        hist_r = History(
+            fval=fit(rh.fval), obj=fit(rh.obj), rel=fit(rh.rel),
+            objrel=fit(rh.objrel), prires=fit(rh.prires, jnp.nan),
+            fvaltest=fit(rh.fvaltest), metrics=fit(rh.metrics),
+            n_rec=jnp.maximum(jnp.asarray(rh.n_rec, jnp.int32) - 1, 0),
+        )
+        carry0 = Carry(*jax.tree.map(jnp.asarray, tuple(resume[:-2])),
+                       hist=hist_r, key=jnp.asarray(resume.key))
+    else:
+        carry0 = Carry(
+            x=prob.x0, x_prev=prob.x0, gq=gq0,
+            gq_prev=jnp.zeros_like(prob.x0),
+            d_prev=jnp.zeros_like(prob.x0), cg_total=jnp.int32(0),
+            frel=jnp.asarray(jnp.inf, dt),
+            k=jnp.int32(0), pri_res=jnp.asarray(jnp.nan, dt),
+            done=jnp.asarray(False), mem=mem0, hist=hist0,
+            key=jax.random.PRNGKey(rng_seed),
+        )
 
     def epoch_body(carry: Carry) -> Carry:
         def with_stats(_):
@@ -469,6 +504,7 @@ def _to_solution(carry: Carry, prob: Problem, metric_names, total_time,
         epochs=int(k_h),
         model=prob,
         cg_info={"total_cg_iters": total_cg} if total_cg else None,
+        state=carry,
     )
 
 
@@ -478,7 +514,7 @@ def _to_solution(carry: Carry, prob: Problem, metric_names, total_time,
 
 
 def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
-                  metric_names, rng_seed=0):
+                  metric_names, rng_seed=0, resume_state=None):
     """Python epoch loop around the jitted step — the observability path.
 
     Mirrors the reference's host-side loop shape (per-epoch `Dates.now()`
@@ -526,18 +562,28 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
         return p.grad_f(p.A, p.y, x) + lam * sm.grad(x, cw)
 
     has_test = prob.Atest is not None and prob.ytest is not None
-    x = prob.x0
-    x_prev = prob.x0
-    gq = grad_fn(prob, x) if cache_grads else jnp.zeros_like(x)
-    gq_prev = jnp.zeros_like(x)
-    d_prev = jnp.zeros_like(x)
-    pri = float("nan")
+    if resume_state is not None:
+        st = resume_state
+        x, x_prev = jnp.asarray(st.x), jnp.asarray(st.x_prev)
+        gq, gq_prev = jnp.asarray(st.gq), jnp.asarray(st.gq_prev)
+        d_prev = jnp.asarray(st.d_prev)
+        mem = jax.tree.map(jnp.asarray, st.mem)
+        start_epoch = int(st.k) + 1
+        pri = float(st.pri_res)
+    else:
+        x = prob.x0
+        x_prev = prob.x0
+        gq = grad_fn(prob, x) if cache_grads else jnp.zeros_like(x)
+        gq_prev = jnp.zeros_like(x)
+        d_prev = jnp.zeros_like(x)
+        start_epoch = 1
+        pri = float("nan")
     recs = {k: [] for k in
             ("fval", "obj", "rel", "objrel", "prires", "fvaltest")}
     mrecs = {name: [] for name in metric_names}
     times = []
     t0 = time.perf_counter()
-    epochs = 0
+    epochs = start_epoch - 1
     name, label = method.display()
 
     def record(xc, pri_c):
@@ -570,7 +616,7 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
         return float(raw_frel)
 
     conv = False
-    for epoch_t in range(1, opts.max_epoch + 1):
+    for epoch_t in range(start_epoch, opts.max_epoch + 1):
         raw_frel = record(x, pri)
         if batching is None:
             samples = [(prob.A, prob.y)]
@@ -646,7 +692,7 @@ def iterate(method, model: Problem, reg_name: str, h_mu, *,
             slice_samples=False, shuffle_batch=True, max_epoch=1000,
             comm_rounds=100, local_max_iter=None, x_tol=1e-10, f_tol=1e-10,
             verbose=1, mode="fused", rng_seed=0,
-            stats_every=1) -> Solution:
+            stats_every=1, resume_state=None) -> Solution:
     """Run a SCORE solve — the reference's `iterate!` entry point.
 
     Args mirror iterate.jl:56 (α spelled `alpha`); `mode` selects the
@@ -678,4 +724,5 @@ def iterate(method, model: Problem, reg_name: str, h_mu, *,
         print("Neither L nor alpha is set for the problem... "
               "Now fixing alpha = 0.5...")
     return solve(method, model, reg_name, h_mu, opts, metric_fns=fns,
-                 metric_names=names, alpha=alpha, rng_seed=rng_seed)
+                 metric_names=names, alpha=alpha, rng_seed=rng_seed,
+                 resume_state=resume_state)

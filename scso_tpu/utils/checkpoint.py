@@ -2,13 +2,17 @@
 
 The reference has no checkpointing (SURVEY.md §5 — a run just
 re-executes). TPU-natively the entire solver state is a pytree of arrays
-(iterate, histories, L-BFGS memory), so checkpointing is plain
-serialization: `save_state` writes any pytree-of-arrays to one `.npz`
-file, `load_state` restores it (optionally onto a template pytree for
-structure/dtype fidelity). Resume a solve by passing the saved iterate
-as the new problem's ``x0`` (warm start) — the SCORE methods are
-memoryless across epochs except L-BFGS, whose (S, Y) memory is part of
-the state and can be re-injected via `scso_tpu.ops.lbfgs_core`.
+(iterate, gradient caches, CG warm-start direction, L-BFGS (S, Y) memory,
+history buffers, RNG key) — the `Carry` of the jitted `lax.while_loop`.
+Every fused-mode :class:`~scso_tpu.algorithms.iterate.Solution` exposes it
+as ``sol.state``; checkpointing is plain serialization and resume is
+``iterate(..., resume_state=state)``, which re-injects the carry into the
+while_loop and continues **bit-identically** to an uninterrupted run
+(tested incl. ProxLQNSCORE memory and the batching RNG key).
+
+`save_state` writes any pytree-of-arrays to one `.npz` file; `load_state`
+restores it (optionally onto a template pytree for structure/dtype
+fidelity, validating the stored treedef against the template's).
 """
 
 from __future__ import annotations
@@ -34,12 +38,17 @@ def load_state(path: str, template=None):
     """Load a pytree saved by :func:`save_state`.
 
     With ``template``, leaves are unflattened into the template's
-    structure (and must match its leaf count); without, returns the flat
-    list of arrays.
+    structure — the stored treedef string must match the template's
+    (catches structure mismatches that happen to have equal leaf counts).
+    Without, returns the flat list of arrays.
     """
     with np.load(path) as data:
         n = sum(1 for k in data.files if k.startswith(_SEP))
         leaves = [data[f"{_SEP}{i}"] for i in range(n)]
+        stored_treedef = (
+            bytes(data["__treedef__"]).decode()
+            if "__treedef__" in data.files else None
+        )
     if template is None:
         return leaves
     t_leaves, treedef = jax.tree.flatten(template)
@@ -48,11 +57,25 @@ def load_state(path: str, template=None):
             f"checkpoint has {len(leaves)} leaves, template has "
             f"{len(t_leaves)}"
         )
+    if stored_treedef is not None and stored_treedef != str(treedef):
+        raise ValueError(
+            "checkpoint treedef does not match template:\n"
+            f"  stored:   {stored_treedef}\n"
+            f"  template: {treedef}"
+        )
     return jax.tree.unflatten(treedef, leaves)
 
 
-def solution_to_state(sol) -> dict:
-    """Extract the resumable state from a Solution."""
+def solution_to_state(sol):
+    """Extract the resumable state from a Solution.
+
+    Fused-mode solutions carry the full while_loop state (``sol.state``)
+    — pass it to ``iterate(..., resume_state=...)`` for a bit-identical
+    continuation. Solutions without one (timed mode) fall back to a
+    summary dict usable as a warm start (``x0=state['x']``).
+    """
+    if getattr(sol, "state", None) is not None:
+        return sol.state
     return {
         "x": np.asarray(sol.x),
         "epochs": np.asarray(sol.epochs),

@@ -167,3 +167,113 @@ class TestDebugUtils:
         rec = solve_with_recovery(scso.ProxNSCORE(), prob, "l1", sm,
                                   chunk_epochs=20, verbose=0)
         np.testing.assert_allclose(rec.x, ref.x, atol=1e-8)
+
+
+class TestFullStateResume:
+    """iterate(resume_state=...) re-injects the complete while_loop carry;
+    the resumed run must BIT-match an uninterrupted one — histories,
+    epochs, L-BFGS memory, CG warm starts and the batching RNG key
+    included (SURVEY.md §5 checkpoint row)."""
+
+    def _prob(self, seed=0, glm=False):
+        from scso_tpu.models import synthetic as syn
+        if glm:  # 0/1 labels + GLM spec so GGN-CG has its pieces
+            A, y, x0, _ = syn.make_sparse_logreg_data(
+                64, 16, density=0.3, n_active=4, seed=seed,
+                dtype=np.float64, label01=True)
+            return scso.Problem(A, y, x0, losses.logistic01_f, 1e-2,
+                                grad_fx=losses.logistic01_grad,
+                                glm=losses.LOGISTIC01_GLM,
+                                dtype=np.float64)
+        A, y, x0, _ = syn.make_sparse_logreg_data(
+            64, 16, density=0.3, n_active=4, seed=seed, dtype=np.float64)
+        return scso.Problem(A, y, x0, losses.logistic_f, 1e-2,
+                            grad_fx=losses.logistic_grad,
+                            hess_fx=losses.logistic_hess, dtype=np.float64)
+
+    def _check_bitmatch(self, full, resumed):
+        np.testing.assert_array_equal(resumed.x, full.x)
+        assert resumed.epochs == full.epochs
+        np.testing.assert_array_equal(resumed.obj, full.obj)
+        np.testing.assert_array_equal(resumed.rel, full.rel)
+        np.testing.assert_array_equal(
+            np.nan_to_num(resumed.pri_res_norm),
+            np.nan_to_num(full.pri_res_norm))
+
+    @pytest.mark.parametrize("make_method,glm", [
+        (lambda: scso.ProxNSCORE(solver="cg"), False),  # CG warm start
+        (lambda: scso.ProxLQNSCORE(m=5), False),  # (S,Y) memory, grad cache
+        (lambda: scso.ProxGGNSCORE(solver="cg"), True),
+    ])
+    def test_resume_bitmatches_uninterrupted(self, make_method, glm):
+        prob = self._prob(glm=glm)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        meth = make_method()
+        full = scso.iterate(meth, prob, "l1", sm, max_epoch=40, verbose=0)
+        part = scso.iterate(meth, prob, "l1", sm, max_epoch=15, verbose=0)
+        resumed = scso.iterate(meth, prob, "l1", sm, max_epoch=40,
+                               verbose=0, resume_state=part.state)
+        self._check_bitmatch(full, resumed)
+
+    def test_resume_batched_rng_continuity(self):
+        """Mini-batched: the carried PRNG key must reproduce the exact
+        shuffle sequence of the uninterrupted run."""
+        prob = self._prob(seed=1)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        meth = scso.ProxLQNSCORE(m=5)
+        kw = dict(batch_size=16, verbose=0, rng_seed=7)
+        full = scso.iterate(meth, prob, "l1", sm, max_epoch=20, **kw)
+        part = scso.iterate(meth, prob, "l1", sm, max_epoch=8, **kw)
+        resumed = scso.iterate(meth, prob, "l1", sm, max_epoch=20,
+                               resume_state=part.state, **kw)
+        self._check_bitmatch(full, resumed)
+
+    def test_resume_through_npz_roundtrip(self, tmp_path):
+        """save_state/load_state round-trip of the full carry, then
+        resume — still bit-identical (incl. L-BFGS S/Y/pos/count/H0)."""
+        from scso_tpu.utils import load_state, save_state
+
+        prob = self._prob(seed=2)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        meth = scso.ProxLQNSCORE(m=5)
+        full = scso.iterate(meth, prob, "l1", sm, max_epoch=30, verbose=0)
+        part = scso.iterate(meth, prob, "l1", sm, max_epoch=12, verbose=0)
+        p = str(tmp_path / "carry.npz")
+        save_state(p, part.state)
+        state = load_state(p, template=part.state)
+        resumed = scso.iterate(meth, prob, "l1", sm, max_epoch=30,
+                               verbose=0, resume_state=state)
+        self._check_bitmatch(full, resumed)
+
+    def test_resume_converged_run_is_stable(self):
+        """Resuming a converged solve returns the same solution and takes
+        no further epochs (done flag is honored)."""
+        prob = self._prob(seed=3)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        meth = scso.ProxNSCORE()
+        full = scso.iterate(meth, prob, "l1", sm, max_epoch=200, verbose=0)
+        again = scso.iterate(meth, prob, "l1", sm, max_epoch=400,
+                             verbose=0, resume_state=full.state)
+        assert again.epochs == full.epochs
+        np.testing.assert_array_equal(again.x, full.x)
+
+    def test_treedef_mismatch_raises(self, tmp_path):
+        from scso_tpu.utils import load_state, save_state
+
+        p = str(tmp_path / "s.npz")
+        save_state(p, {"a": np.zeros(3), "b": np.ones(2)})
+        with pytest.raises(ValueError, match="treedef"):
+            load_state(p, template={"c": np.zeros(3), "d": np.ones(2)})
+
+    def test_timed_mode_resume_warm_start(self):
+        """Timed mode accepts resume_state too (continues the iterate,
+        fresh histories)."""
+        prob = self._prob(seed=4)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        meth = scso.ProxNSCORE()
+        part = scso.iterate(meth, prob, "l1", sm, max_epoch=10, verbose=0)
+        resumed = scso.iterate(meth, prob, "l1", sm, max_epoch=40,
+                               verbose=0, mode="timed",
+                               resume_state=part.state)
+        full = scso.iterate(meth, prob, "l1", sm, max_epoch=40, verbose=0)
+        np.testing.assert_allclose(resumed.x, full.x, atol=1e-12)

@@ -26,7 +26,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from scso_tpu._src.struct import pytree_dataclass, static_field
-from scso_tpu.problems import Problem as CompositeProblem, make_problem
+from scso_tpu.problems import (
+    Interval,
+    Problem as CompositeProblem,
+    ProblemLike,
+    is_interval_set,
+    make_problem,
+)
 from scso_tpu.algorithms.methods import (
     ProxGGNSCORE,
     ProxLQNSCORE,
@@ -110,6 +116,9 @@ __version__ = "0.1.0"
 __all__ = [
     "Problem",
     "CompositeProblem",
+    "ProblemLike",
+    "Interval",
+    "is_interval_set",
     "make_problem",
     "iterate",
     "iterate_mixed",

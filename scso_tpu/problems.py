@@ -234,8 +234,38 @@ class Problem:
         return self.f_val(As, ys, x) + self.reg(reg_name, x)
 
 
+class Interval(NamedTuple):
+    """Closed interval [lower, upper] — the reference's IntervalSets
+    surface (types/custom.jl:26-27). Accepted as ``C_set`` either as one
+    scalar interval or a tuple/list of per-coordinate intervals
+    (prox-operators.jl:33-43, regularizers.jl:10-18). Any object with
+    ``lower``/``upper`` attributes works too."""
+
+    lower: float
+    upper: float
+
+
+def is_interval_set(obj) -> bool:
+    """True for an Interval (or .lower/.upper object) or a tuple/list of
+    them — parity: is_interval_set (types/custom.jl:27)."""
+    has_lu = lambda o: hasattr(o, "lower") and hasattr(o, "upper")
+    if has_lu(obj):
+        return True
+    return (isinstance(obj, (tuple, list)) and len(obj) > 0
+            and all(has_lu(o) for o in obj))
+
+
 def _resolve_bounds(C_set, dtype):
-    """Normalize C_set=(lb, ub) / [lb, ub] into broadcastable arrays.
+    """Normalize C_set into broadcastable (lb, ub) arrays.
+
+    Accepted forms (parity: IntervalVectorTupleOrNothing,
+    types/custom.jl:26, and the prox/reg unpacking at
+    prox-operators.jl:33-43):
+      * ``[lb, ub]`` / ``(lb, ub)`` — scalars or length-n arrays;
+      * one :class:`Interval` (scalar bounds);
+      * a tuple/list of n :class:`Interval` — per-coordinate bounds.
+    Bare nested sequences keep the [lb, ub] meaning (the reference
+    disambiguates per-coordinate intervals by TYPE, never by length).
 
     Unlike the smoother-side `sanitize_bounds`, infinities are KEPT here:
     the reference's `get_reg`/prox use the raw C_set (regularizers.jl:9-19,
@@ -243,8 +273,27 @@ def _resolve_bounds(C_set, dtype):
     """
     if C_set is None:
         return None, None
+    if is_interval_set(C_set):
+        if hasattr(C_set, "lower"):  # one scalar interval
+            lo, hi = C_set.lower, C_set.upper
+            return (jnp.asarray(min(lo, hi), dtype=dtype),
+                    jnp.asarray(max(lo, hi), dtype=dtype))
+        # per-coordinate intervals
+        lows = [min(i.lower, i.upper) for i in C_set]
+        highs = [max(i.lower, i.upper) for i in C_set]
+        return (jnp.asarray(lows, dtype=dtype),
+                jnp.asarray(highs, dtype=dtype))
     lb, ub = C_set[0], C_set[1]
     return jnp.asarray(lb, dtype=dtype), jnp.asarray(ub, dtype=dtype)
+
+
+class ProblemLike:
+    """Empty placeholder model — parity: ``Problem()`` → ProblemLike
+    (problems.jl:3,42). Carries no state; exists so the zero-argument
+    constructor arity of the reference keeps working."""
+
+    def __repr__(self):
+        return "ProblemLike()"
 
 
 def make_problem(
@@ -282,6 +331,9 @@ def make_problem(
     (ground truth for relative errors), defaulting to zeros — the
     reference's quirk at problems.jl:49,70, reproduced deliberately.
     """
+    if len(args) == 0:
+        # parity: Problem() → ProblemLike (problems.jl:42)
+        return ProblemLike()
     if len(args) == 3:
         x0, f, lam = args
         A = y = None
@@ -291,7 +343,8 @@ def make_problem(
         has_data = True
     else:
         raise TypeError(
-            "make_problem takes (x0, f, lam, ...) or (A, y, x0, f, lam, ...)"
+            "make_problem takes (), (x0, f, lam, ...) or "
+            "(A, y, x0, f, lam, ...)"
         )
 
     x0 = jnp.asarray(x0, dtype=dtype)

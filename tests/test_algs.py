@@ -434,3 +434,50 @@ class TestTimedModeBatching:
                      max_epoch=2, verbose=3, mode="timed")
         out = capsys.readouterr().out
         assert "[1/5]" in out  # per-batch progress — iterate.jl:212-218
+
+
+class TestIntervalCSet:
+    """Interval-set C_set forms — parity: IntervalVectorTupleOrNothing
+    (types/custom.jl:26-27) and the interval unpacking in prox/get_reg
+    (prox-operators.jl:33-43, regularizers.jl:10-18)."""
+
+    def test_scalar_interval_matches_array_form(self):
+        model_arr = scso.Problem(A_QP, Y_QP, X0_QP, f_qp, 1.0e-4,
+                                 C_set=[-1.0, 1.0], sol=XSTAR_QP,
+                                 dtype=np.float64)
+        model_int = scso.Problem(A_QP, Y_QP, X0_QP, f_qp, 1.0e-4,
+                                 C_set=scso.Interval(-1.0, 1.0),
+                                 sol=XSTAR_QP, dtype=np.float64)
+        sm = scso.PHuberSmootherIndBox(-1.0, 1.0, 0.6)
+        s_a = scso.iterate(scso.ProxNSCORE(), model_arr, "indbox", sm,
+                           alpha=0.8, verbose=0)
+        s_i = scso.iterate(scso.ProxNSCORE(), model_int, "indbox", sm,
+                           alpha=0.8, verbose=0)
+        np.testing.assert_array_equal(s_i.x, s_a.x)
+
+    def test_per_coordinate_intervals(self):
+        ivals = tuple(scso.Interval(-1.0, 1.0) for _ in range(5))
+        model = scso.Problem(A_QP, Y_QP, X0_QP, f_qp, 1.0e-4,
+                             C_set=ivals, sol=XSTAR_QP, dtype=np.float64)
+        np.testing.assert_array_equal(np.asarray(model.lb), -np.ones(5))
+        np.testing.assert_array_equal(np.asarray(model.ub), np.ones(5))
+        sol = scso.iterate(scso.ProxNSCORE(), model, "indbox",
+                           scso.PHuberSmootherIndBox(model.lb, model.ub, 0.6),
+                           alpha=0.8, verbose=0)
+        assert sol.rel[-1] <= 1e-3
+
+    def test_reversed_interval_normalized(self):
+        p = scso.Problem(np.zeros(3), losses.rosenbrock, 0.1,
+                         C_set=scso.Interval(2.0, -2.0), dtype=np.float64)
+        assert float(p.lb) == -2.0 and float(p.ub) == 2.0
+
+    def test_is_interval_set(self):
+        assert scso.is_interval_set(scso.Interval(0, 1))
+        assert scso.is_interval_set((scso.Interval(0, 1),) * 3)
+        assert not scso.is_interval_set([-1.0, 1.0])
+        assert not scso.is_interval_set(None)
+
+    def test_empty_problem_ctor(self):
+        """Problem() → ProblemLike — parity: problems.jl:42."""
+        p = scso.Problem()
+        assert isinstance(p, scso.ProblemLike)

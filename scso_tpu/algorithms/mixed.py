@@ -51,7 +51,9 @@ def iterate_mixed(method, model: Problem, reg_name: str, h_mu, *,
 
     fine_prob = dc_replace(model, x0=jnp.asarray(coarse.x, model.x0.dtype))
     fine = iterate(method, fine_prob, reg_name, h_mu, **kwargs)
+    # merge, don't overwrite: the fine solve's total_cg_iters must survive
     fine.cg_info = {
+        **(fine.cg_info or {}),
         "coarse_epochs": coarse.epochs,
         "coarse_time_s": float(coarse.times[-1]) if len(coarse.times) else 0.0,
     }

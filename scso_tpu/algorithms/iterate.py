@@ -491,8 +491,11 @@ def _to_solution(carry: Carry, prob: Problem, metric_names, total_time,
             times[-1] = total_time
     has_test = prob.Atest is not None and prob.ytest is not None
     total_cg = int(cg_h)
+    x_out = np.asarray(x_h)
+    if prob.n_true is not None:
+        x_out = x_out[..., : prob.n_true]  # drop feature padding
     return Solution(
-        x=np.asarray(x_h),
+        x=x_out,
         obj=sl(obj_h),
         fval=sl(fval_h),
         pri_res_norm=sl(prires_h),
@@ -673,7 +676,8 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
                   f"({opts.max_epoch}).")
     arr = lambda k: np.asarray(recs[k])
     return Solution(
-        x=np.asarray(x),
+        x=(np.asarray(x)[..., : prob.n_true] if prob.n_true is not None
+           else np.asarray(x)),
         obj=arr("obj"), fval=arr("fval"), pri_res_norm=arr("prires"),
         fvaltest=arr("fvaltest") if has_test else np.zeros((0,)),
         rel=arr("rel"), objrel=arr("objrel"),

@@ -185,7 +185,10 @@ def _damped_prox_update(method, prob: Problem, reg_name, sm, x, d,
     With ``method.kernels == 'pallas'`` (and a supported reg kind) the
     whole tail runs as one fused Pallas kernel (ops/pallas/score_update).
     """
-    Mg = get_Mg(sm.Mh, sm.nu, sm.mu, x.shape[-1])
+    # feature-padded problems damp with the TRUE n (get_Mg is n-dependent;
+    # the padding is a storage detail, not a bigger problem)
+    n_eff = prob.n_true if prob.n_true is not None else x.shape[-1]
+    Mg = get_Mg(sm.Mh, sm.nu, sm.mu, n_eff)
     if (method.kernels == "pallas"
             and supports_fused_update(reg_name, method.use_prox)):
         x_new, pri, safe_alpha = fused_score_update(

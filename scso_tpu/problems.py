@@ -118,6 +118,12 @@ class Problem:
     data_axis: Optional[str] = static_field(default=None)
     name: Optional[str] = static_field(default=None)
     has_data: bool = static_field(default=False)
+    #: set by make_problem(pad_features=True): the UNPADDED feature count.
+    #: The stored arrays are zero-padded along the feature axis to a
+    #: multiple of 128 so the fused Pallas kernels engage at ragged n
+    #: (e.g. n = 10^4); padded coordinates provably stay exactly 0 for
+    #: l1/l2/no-prox solves and Solution.x is sliced back to n_true.
+    n_true: Optional[int] = static_field(default=None)
 
     # --- reference-compatible aliases ------------------------------------
     @property
@@ -318,6 +324,7 @@ def make_problem(
     glm=None,
     name=None,
     dtype=None,
+    pad_features=False,
 ) -> Problem:
     """Build a :class:`Problem` — mirrors the reference's constructors.
 
@@ -357,6 +364,28 @@ def make_problem(
     L = None if L is None else jnp.asarray(L, dtype=dt)
     grp = groups if groups is not None else P
 
+    n_true = None
+    if pad_features:
+        n = x0.shape[-1]
+        pad = (-n) % 128
+        if grp is not None or lb is not None or ub is not None:
+            raise ValueError(
+                "pad_features supports l1/l2/no-prox problems only: "
+                "padded coordinates stay exactly 0 through those prox "
+                "ops, but group structure and box bounds would act on "
+                "the padding"
+            )
+        if pad:
+            n_true = n
+            zpad = lambda v: jnp.concatenate(
+                [v, jnp.zeros(v.shape[:-1] + (pad,), v.dtype)], axis=-1)
+            x0 = zpad(x0)
+            x_star = zpad(x_star)
+            if A is not None:
+                A = zpad(A)
+            if Atest is not None:
+                Atest = zpad(Atest)
+
     return Problem(
         x0=x0,
         lam=lam,
@@ -383,4 +412,5 @@ def make_problem(
         glm=glm,
         name=name,
         has_data=has_data,
+        n_true=n_true,
     )

@@ -90,3 +90,68 @@ def test_zero_lambda():
 def test_package_exports():
     for name in scso.__all__:
         assert hasattr(scso, name), name
+
+
+class TestFeaturePadding:
+    """make_problem(pad_features=True) zero-pads the feature axis to a
+    multiple of 128 so the fused kernels engage at ragged n (the
+    north-star n = 10^4 is not a multiple of 128); padded coordinates
+    stay exactly 0 and the damping uses the true n."""
+
+    def _pair(self, n=1000, m=256, seed=0):
+        from scso_tpu.models import losses, synthetic
+        A, y, x0, _ = synthetic.make_sparse_logreg_data(
+            m, n, density=0.05, n_active=16, seed=seed, dtype=np.float64,
+            label01=True)
+        kw = dict(grad_fx=losses.logistic01_grad,
+                  glm=losses.LOGISTIC01_GLM, dtype=np.float64)
+        plain = scso.Problem(A, y, x0, losses.logistic01_f, 1e-2, **kw)
+        padded = scso.Problem(A, y, x0, losses.logistic01_f, 1e-2,
+                              pad_features=True, **kw)
+        return plain, padded
+
+    def test_shapes_and_support(self):
+        from scso_tpu.ops.pallas.matvec import supports_fused_normal_matvec
+        plain, padded = self._pair(n=1000)
+        assert plain.A.shape[1] == 1000
+        assert padded.A.shape[1] == 1024 and padded.n_true == 1000
+        assert not supports_fused_normal_matvec(*plain.A.shape)
+        assert supports_fused_normal_matvec(*padded.A.shape)
+        np.testing.assert_array_equal(
+            np.asarray(padded.A[:, 1000:]), 0.0)
+
+    def test_padded_solve_matches_unpadded(self):
+        plain, padded = self._pair(n=1000)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        meth = scso.ProxGGNSCORE(solver="cg")
+        s_p = scso.iterate(meth, plain, "l1", sm, max_epoch=40, verbose=0)
+        s_q = scso.iterate(meth, padded, "l1", sm, max_epoch=40, verbose=0)
+        assert s_q.x.shape == (1000,)  # sliced back
+        # reduction order differs with padded columns → ~1e-9 f64 drift
+        np.testing.assert_allclose(s_q.x, s_p.x, atol=1e-7)
+        assert s_q.epochs == s_p.epochs
+        np.testing.assert_allclose(s_q.obj, s_p.obj, rtol=1e-8)
+
+    def test_no_pad_when_already_aligned(self):
+        plain, padded = self._pair(n=1024 - 24)  # 1000 → pads
+        _, aligned = self._pair(n=1024)
+        assert aligned.n_true is None
+        assert aligned.A.shape[1] == 1024
+
+    def test_rejects_groups_and_bounds(self):
+        from scso_tpu.models import losses
+        with pytest.raises(ValueError, match="pad_features"):
+            scso.Problem(np.zeros(10), losses.rosenbrock, 0.1,
+                         C_set=[-1.0, 1.0], pad_features=True,
+                         dtype=np.float64)
+
+    def test_pallas_kernel_parity_on_padded(self):
+        """kernels='pallas' (interpret) on a padded problem matches xla."""
+        plain, padded = self._pair(n=600, m=128)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        kw = dict(max_epoch=25, verbose=0)
+        s_x = scso.iterate(scso.ProxGGNSCORE(solver="cg", kernels="xla"),
+                           padded, "l1", sm, **kw)
+        s_k = scso.iterate(scso.ProxGGNSCORE(solver="cg", kernels="pallas"),
+                           padded, "l1", sm, **kw)
+        np.testing.assert_allclose(s_k.x, s_x.x, atol=1e-8)

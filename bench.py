@@ -50,6 +50,12 @@ import os
 
 M = int(os.environ.get("BENCH_M", 1 << 19))  # 524288×1024 ≈ 2 GiB f32
 N = int(os.environ.get("BENCH_N", 1024))
+# BENCH_PAD=1: zero-pad ragged n to a 128 multiple at problem build so the
+# fused kernels engage (the north-star n = 10^4 is not a 128 multiple)
+PAD = bool(int(os.environ.get("BENCH_PAD", "0")))
+# BENCH_ADAPTIVE=1: Eisenstat-Walker step-length forcing instead of the
+# fixed 3e-4 cg_tol
+ADAPTIVE = bool(int(os.environ.get("BENCH_ADAPTIVE", "0")))
 SEED = 7
 CHUNK = 60            # epochs per compiled chunk (ONE program for all)
 GAP = 1e-6
@@ -73,6 +79,7 @@ def build_problem(sol=None):
         glm=losses.LOGISTIC01_GLM,
         sol=sol,
         dtype=np.float32,
+        pad_features=PAD,
     )
 
 
@@ -80,7 +87,8 @@ def main():
     # cg_tol=3e-4: inexact-Newton forcing — epochs-to-gap is UNCHANGED down
     # to ~3e-4 while CG iterations drop ~45% (knee measured on the gap-
     # anchored CPU protocol; 1e-3 starts costing epochs)
-    method = scso.ProxGGNSCORE(solver="cg", cg_tol=3e-4, cg_maxiter=100)
+    method = scso.ProxGGNSCORE(solver="cg", cg_tol=3e-4, cg_maxiter=100,
+                               cg_adaptive=ADAPTIVE)
     sm = scso.PHuberSmootherL1L2(1.0)
     # stats_every=4: the per-epoch stats pass (full-data fval) is ~half
     # the epoch cost; amortizing it trades ≤3 extra epochs at stop time.
@@ -99,11 +107,14 @@ def main():
     x_opt = None
     for _ in range(12):  # ≤ 720 epochs
         s = run(cur)
-        x_opt = s.x  # terminal fixed point anchors the gap target
+        # terminal fixed point anchors the gap target; state.x keeps the
+        # on-device (and, under BENCH_PAD, padded) vector — Solution.x is
+        # sliced back to n_true and would shape-mismatch the padded prob
+        x_opt = s.state.x
         if s.obj[-1] >= best * (1 - 1e-7):
             break
         best = s.obj[-1]
-        cur = dc_replace(cur, x0=jnp.asarray(s.x))
+        cur = dc_replace(cur, x0=x_opt)
 
     # --- timed: fresh solves vs the optimum, chained until gap fires ------
     prob_t = dc_replace(prob, x_star=jnp.asarray(x_opt))
@@ -139,8 +150,8 @@ def main():
             gap_now = float(s.objrel[-1])
             if gap_now <= 3e-3 or s.epochs < CHUNK:
                 break
-            ccur = dc_replace(ccur, x0=jnp.asarray(s.x))
-        cur = dc_replace(prob_t, x0=jnp.asarray(s.x, jnp.float32))
+            ccur = dc_replace(ccur, x0=s.state.x)
+        cur = dc_replace(prob_t, x0=jnp.asarray(s.state.x, jnp.float32))
 
     for _ in range(12):
         t0 = time.perf_counter()
@@ -157,7 +168,7 @@ def main():
         if s.epochs < CHUNK and gap_now >= prev_gap * 0.99:
             break
         prev_gap = gap_now
-        cur = dc_replace(cur, x0=jnp.asarray(s.x))
+        cur = dc_replace(cur, x0=s.state.x)
     gap = float(s.objrel[-1])
     iters_per_s = epochs / t_solve
 
@@ -180,13 +191,25 @@ def main():
     jax.block_until_ready(x)
     ms_per_step = (time.perf_counter() - t0) / n_rep * 1e3
 
+    # fused-kernel engagement: on TPU the hot path MUST have routed through
+    # the Pallas kernels (round-1 regression: n % 128 != 0 silently fell
+    # back to the two-matmul path and nobody measured what they thought)
+    from scso_tpu.ops.pallas.counters import KERNEL_HITS
+    if jax.default_backend() == "tpu":
+        assert KERNEL_HITS["fused_normal_matvec"] > 0, (
+            f"fused matvec never engaged at {M}x{prob.A.shape[1]} — "
+            "shape fell back to the XLA path; fix the shape or pad")
+        assert KERNEL_HITS["fused_score_update"] > 0, (
+            "fused SCORE update never engaged")
+
     print(json.dumps({
         "metric": "sparse_logreg_time_to_1e-6_obj_gap",
         "value": round(t_solve, 4),
         "unit": "s",
         "vs_baseline": round(10.0 / t_solve, 2),
-        "config": (f"{M}x{N} "
+        "config": (f"{M}x{N}" + ("(pad)" if PAD else "") + " "
                    + ("bf16+f32 mixed" if use_mixed else "f32")
+                   + ("+EWforcing" if ADAPTIVE else "")
                    + ", ProxGGNSCORE(cg), PHuberL1L2(mu=1)"),
         "device": jax.devices()[0].device_kind,
         "epochs": int(epochs),
@@ -194,6 +217,7 @@ def main():
         "ggn_cg_step_ms": round(ms_per_step, 2),
         "total_cg_iters": int(cg_total),
         "final_rel_obj_gap": gap,
+        "fused_kernel_hits": dict(KERNEL_HITS),
     }))
 
 

@@ -7,9 +7,16 @@ fixed per-device work; >0.8 means the psum reductions ride the
 interconnect without serializing the matvecs.
 
 On real multi-chip hardware this runs unchanged (devices = all chips,
-collectives on ICI/DCN). On a single host it demonstrates the harness on
-the virtual CPU mesh (set JAX_PLATFORMS=cpu; numbers then measure XLA
-partitioning overhead, not ICI).
+collectives on ICI/DCN). On a single host (virtual CPU mesh,
+JAX_PLATFORMS=cpu) weak-scaling efficiency is MEANINGLESS — all virtual
+devices share the same cores, so t(N) grows with total work by
+construction. The metric that IS meaningful there is reported as
+``sharding_overhead``: t(unsharded, same total size) / t(sharded over N)
+— ≥ ~1.0 means GSPMD partitioning + the psum collectives add nothing
+over the single-device program; that is the part of >80%-scaling this
+environment can validate (the psum payload is (n,) floats — tiny next
+to the HBM-bound per-shard matvec, which is why high weak scaling is
+expected on real ICI).
 
 Run: python benchmarks/scaling.py [--rows-per-device 8192] [--n 512]
 """
@@ -39,7 +46,7 @@ from scso_tpu.models import losses, synthetic
 from scso_tpu.parallel import make_mesh, shard_problem
 
 
-def step_time(prob, method, sm, reps=20):
+def step_time(prob, method, sm, reps=20):  # noqa: D103
     n = prob.n
     mem = init_memory(n, 1, prob.x0.dtype)
 
@@ -61,6 +68,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows-per-device", type=int, default=8192)
     ap.add_argument("--n", type=int, default=512)
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--json-out", type=str, default=None,
+                    help="write the results list to this JSON file")
     args = ap.parse_args()
 
     devs = jax.devices()
@@ -79,22 +89,38 @@ def main():
             A, y, x0, losses.logistic01_f, 0.01,
             grad_fx=losses.logistic01_grad,
             glm=losses.LOGISTIC01_GLM, dtype=np.float32)
+        t_unsharded = step_time(prob, method, sm, reps=args.reps)
         if c > 1:
             mesh = make_mesh((c,), ("data",), devs[:c])
             prob = shard_problem(prob, mesh)
-        t = step_time(prob, method, sm)
+        t = step_time(prob, method, sm, reps=args.reps)
         if t1 is None:
             t1 = t
         eff = t1 / t
         r = dict(devices=c, rows=m, step_ms=round(t * 1e3, 3),
-                 weak_scaling_eff=round(eff, 3))
+                 weak_scaling_eff=round(eff, 3),
+                 unsharded_step_ms=round(t_unsharded * 1e3, 3),
+                 sharding_overhead=round(t_unsharded / t, 3))
         results.append(r)
         print(json.dumps(r), flush=True)
 
-    print("\ndevices  rows       step_ms   efficiency")
+    print("\ndevices  rows       step_ms   weak-eff  unsharded_ms  shard-ovh")
     for r in results:
         print(f"{r['devices']:7d}  {r['rows']:9d}  {r['step_ms']:8.3f}"
-              f"  {r['weak_scaling_eff']:.1%}")
+              f"  {r['weak_scaling_eff']:8.1%}  {r['unsharded_step_ms']:12.3f}"
+              f"  {r['sharding_overhead']:9.3f}")
+    if args.json_out:
+        payload = dict(
+            metric="ggn_cg_step_weak_scaling",
+            backend=jax.default_backend(),
+            device=str(devs[0].device_kind),
+            rows_per_device=args.rows_per_device,
+            n=args.n,
+            results=results,
+        )
+        with open(args.json_out, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(f"wrote {args.json_out}")
     return results
 
 

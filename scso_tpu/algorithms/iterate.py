@@ -87,6 +87,7 @@ class Carry(NamedTuple):
     gq_prev: jax.Array
     d_prev: jax.Array   # previous raw direction — CG warm start seed
     cg_total: jax.Array  # cumulative CG iterations across all steps
+    bnorm_prev: jax.Array  # last CG ‖rhs‖ — Eisenstat-Walker forcing
     frel: jax.Array     # last recorded relative objective gap (stopping)
     k: jax.Array
     pri_res: jax.Array
@@ -300,13 +301,15 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
         return prob.grad_f(As, ys, x) + lam * sm.grad(x, cw)
 
     def do_step(As, ys, x, x_prev, gq, gq_prev, it, mem,
-                d_prev) -> StepOut:
+                d_prev, bn_prev) -> StepOut:
         if isinstance(method, ProxNSCORE):
             return newton_step(method, prob, reg_name, sm, As, ys, x,
-                               x_prev, gq_prev, it, mem, d_prev=d_prev)
+                               x_prev, gq_prev, it, mem, d_prev=d_prev,
+                               bnorm_prev=bn_prev)
         if isinstance(method, ProxGGNSCORE):
             return ggn_step(method, prob, reg_name, sm, As, ys, x,
-                            x_prev, gq_prev, it, mem, d_prev=d_prev)
+                            x_prev, gq_prev, it, mem, d_prev=d_prev,
+                            bnorm_prev=bn_prev)
         return lbfgs_step(method, prob, reg_name, sm, As, ys, x, x_prev,
                           gq_prev, it, mem,
                           gq_cached=gq if cache_grads else None)
@@ -343,6 +346,7 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
             x=prob.x0, x_prev=prob.x0, gq=gq0,
             gq_prev=jnp.zeros_like(prob.x0),
             d_prev=jnp.zeros_like(prob.x0), cg_total=jnp.int32(0),
+            bnorm_prev=jnp.asarray(jnp.nan, dt),
             frel=jnp.asarray(jnp.inf, dt),
             k=jnp.int32(0), pri_res=jnp.asarray(jnp.nan, dt),
             done=jnp.asarray(False), mem=mem0, hist=hist0,
@@ -387,11 +391,12 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
         if batching is None:
             out = do_step(prob.A, prob.y, carry.x, carry.x_prev,
                           carry.gq, carry.gq_prev, it, carry.mem,
-                          carry.d_prev)
+                          carry.d_prev, carry.bnorm_prev)
             x, x_prev = out.x_new, carry.x
             gq, gq_prev = out.gq_new, out.gq
             pri, mem, d_prev = out.pri_res_norm, out.mem, out.d
             cg_total = carry.cg_total + out.cg_iters
+            bn_prev = out.bnorm
             key = carry.key
         else:
             nb, bs = batching
@@ -405,12 +410,12 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
             yb = prob.y[perm][: nb * bs].reshape(nb, bs, *prob.y.shape[1:])
 
             def scan_body(sc, batch):
-                x, x_prev, gq, gq_prev, d_prev, cgt, pri, done, mem = sc
+                x, x_prev, gq, gq_prev, d_prev, bn_p, cgt, pri, done, mem = sc
                 As, ys = batch
 
                 def live(_):
                     out = do_step(As, ys, x, x_prev, gq, gq_prev, it, mem,
-                                  d_prev)
+                                  d_prev, bn_p)
                     conv = (
                         (jnp.linalg.norm(out.x_new - x)
                          < x_tol * jnp.maximum(jnp.linalg.norm(x), 1.0))
@@ -418,20 +423,20 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
                         | (out.pri_res_norm < x_tol)
                     )
                     return (out.x_new, x, out.gq_new, out.gq, out.d,
-                            cgt + out.cg_iters, out.pri_res_norm, conv,
-                            out.mem)
+                            out.bnorm, cgt + out.cg_iters,
+                            out.pri_res_norm, conv, out.mem)
 
                 def frozen(_):
                     return sc
 
                 return lax.cond(done, frozen, live, None), None
 
-            (x, x_prev, gq, gq_prev, d_prev, cg_total, pri, done_in,
-             mem), _ = lax.scan(
+            (x, x_prev, gq, gq_prev, d_prev, bn_prev, cg_total, pri,
+             done_in, mem), _ = lax.scan(
                 scan_body,
                 (carry.x, carry.x_prev, carry.gq, carry.gq_prev,
-                 carry.d_prev, carry.cg_total, carry.pri_res, carry.done,
-                 carry.mem),
+                 carry.d_prev, carry.bnorm_prev, carry.cg_total,
+                 carry.pri_res, carry.done, carry.mem),
                 (Ab, yb),
             )
 
@@ -444,7 +449,8 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
             | (pri < x_tol)
         )
         return Carry(x=x, x_prev=x_prev, gq=gq, gq_prev=gq_prev,
-                     d_prev=d_prev, cg_total=cg_total, frel=raw_frel,
+                     d_prev=d_prev, cg_total=cg_total, bnorm_prev=bn_prev,
+                     frel=raw_frel,
                      k=carry.k + 1, pri_res=pri, done=conv, mem=mem,
                      hist=hist, key=key)
 
@@ -549,13 +555,16 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
     cw = _cw(prob, reg_name)
 
     @jax.jit
-    def step_fn(p, As, ys, x, x_prev, gq, gq_prev, it, mem, d_prev):
+    def step_fn(p, As, ys, x, x_prev, gq, gq_prev, it, mem, d_prev,
+                bn_prev):
         if isinstance(method, ProxNSCORE):
             return newton_step(method, p, reg_name, sm, As, ys,
-                               x, x_prev, gq_prev, it, mem, d_prev=d_prev)
+                               x, x_prev, gq_prev, it, mem, d_prev=d_prev,
+                               bnorm_prev=bn_prev)
         if isinstance(method, ProxGGNSCORE):
             return ggn_step(method, p, reg_name, sm, As, ys,
-                            x, x_prev, gq_prev, it, mem, d_prev=d_prev)
+                            x, x_prev, gq_prev, it, mem, d_prev=d_prev,
+                            bnorm_prev=bn_prev)
         return lbfgs_step(method, p, reg_name, sm, As, ys,
                           x, x_prev, gq_prev, it, mem,
                           gq_cached=gq if cache_grads else None)
@@ -570,6 +579,7 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
         x, x_prev = jnp.asarray(st.x), jnp.asarray(st.x_prev)
         gq, gq_prev = jnp.asarray(st.gq), jnp.asarray(st.gq_prev)
         d_prev = jnp.asarray(st.d_prev)
+        bn_prev = jnp.asarray(getattr(st, "bnorm_prev", jnp.nan))
         mem = jax.tree.map(jnp.asarray, st.mem)
         start_epoch = int(st.k) + 1
         pri = float(st.pri_res)
@@ -579,6 +589,7 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
         gq = grad_fn(prob, x) if cache_grads else jnp.zeros_like(x)
         gq_prev = jnp.zeros_like(x)
         d_prev = jnp.zeros_like(x)
+        bn_prev = jnp.asarray(jnp.nan, dt)
         start_epoch = 1
         pri = float("nan")
     recs = {k: [] for k in
@@ -642,10 +653,11 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
                 else:
                     print("#", end="", flush=True)
             out = step_fn(prob, As, ys, x, x_prev, gq, gq_prev,
-                          jnp.int32(epoch_t), mem, d_prev)
+                          jnp.int32(epoch_t), mem, d_prev, bn_prev)
             out = jax.block_until_ready(out)
             x_new = out.x_new
             d_prev = out.d
+            bn_prev = out.bnorm
             pri = float(out.pri_res_norm)
             conv = (
                 float(jnp.linalg.norm(x_new - x))

@@ -37,6 +37,16 @@ class ProxNSCORE:
     solver: str = "auto"
     cg_tol: float = 1e-8
     cg_maxiter: int = 250
+    #: Eisenstat-Walker adaptive CG forcing (opt-in): per-epoch relative
+    #: tolerance eta_k = clip(0.9*(|b_k|/|b_{k-1}|)^2, cg_tol, 0.1) —
+    #: loose far from the solution, tightening as the outer gradient
+    #: shrinks; cg_tol acts as the floor.
+    cg_adaptive: bool = False
+    #: >1 splits the row-sharded CG matvec's second contraction into
+    #: output-column chunks whose psums overlap the next chunk's compute
+    #: (XLA async collectives) — for DCN-scale meshes with large n; the
+    #: default single fused psum wins when the collective is small.
+    comm_overlap_chunks: int = 1
     kernels: str = "auto"
     name: str = "prox-newtonscore"
     label: str = "Prox-N-SCORE"
@@ -70,6 +80,10 @@ class ProxGGNSCORE:
     solver: str = "auto"
     cg_tol: float = 1e-8
     cg_maxiter: int = 250
+    #: Eisenstat-Walker adaptive CG forcing — see ProxNSCORE.cg_adaptive
+    cg_adaptive: bool = False
+    #: comm/compute overlap for the sharded CG matvec — see ProxNSCORE
+    comm_overlap_chunks: int = 1
     kernels: str = "auto"
     # opt-in single-pass epoch-prep kernel (ops/pallas/glm_prep) — XLA's
     # own fusion of the z/b/hdiag passes measured faster on v5e

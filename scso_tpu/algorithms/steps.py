@@ -55,6 +55,7 @@ class StepOut(NamedTuple):
     mem: LBFGSMemory
     d: jax.Array        # raw (undamped) direction — CG warm start seed
     cg_iters: jax.Array = None  # CG iterations spent (0 for dense/L-BFGS)
+    bnorm: jax.Array = None  # ‖CG rhs‖ — Eisenstat-Walker forcing state
 
 
 # solver='auto' size budgets: above these the dense branches (n×n
@@ -229,6 +230,38 @@ def _cg_tol(method, dtype):
     return max(method.cg_tol, 4.0 * float(jnp.finfo(dtype).eps))
 
 
+def _forcing_tol(method, b, x, x_prev, ref_prev, it):
+    """(tol, step_ref) for the CG solve.
+
+    With ``method.cg_adaptive`` (Eisenstat–Walker-style forcing):
+    η_k = clip(0.9·(‖x_k − x_{k-1}‖ / s_ref)², cg_tol, 0.1), s_ref = the
+    first step length — spend few CG iterations while the outer iterates
+    still move a lot, tighten superlinearly as the steps shrink. The
+    STEP LENGTH is the right signal for prox-SCORE: the smoothed
+    composite gradient does NOT vanish at the damped-prox fixed point
+    (the prox absorbs the nonsmooth part), so RHS-norm-based EW variants
+    plateau and stall the x_tol stopping test; the step length does go
+    to 0 there, driving η to the cg_tol floor so the endgame matches a
+    fixed-tolerance solve. ``ref_prev`` carries s_ref (NaN until the
+    first real step). Without the flag: the fixed floored cg_tol."""
+    floor = _cg_tol(method, b.dtype)
+    if not method.cg_adaptive:
+        return floor, jnp.asarray(jnp.nan, b.dtype)
+    eta_max = 0.1
+    dxn = jnp.linalg.norm(x - x_prev)
+    if ref_prev is None:
+        rp = jnp.asarray(jnp.nan, b.dtype)
+    else:
+        rp = jnp.asarray(ref_prev)
+    unset = jnp.isnan(rp) | (rp <= 0)
+    ref = jnp.where(unset & (dxn > 0), dxn, rp)
+    ratio = dxn / jnp.maximum(ref, jnp.finfo(b.dtype).tiny)
+    eta = jnp.clip(0.9 * ratio * ratio, floor, eta_max)
+    eta = jnp.where(jnp.isnan(ref) | (it <= 1),
+                    jnp.asarray(eta_max, eta.dtype), eta)
+    return eta, ref
+
+
 def _weighted_system(method, As, x, w, lhr, prob: Problem = None):
     """(matvec, preconditioner) from precomputed GLM weights w:
     mv(v) = Aᵀ(w∘(Av)) + λHr∘v, Jacobi M⁻¹ = 1/(diag(AᵀWA) + λHr).
@@ -247,7 +280,9 @@ def _weighted_system(method, As, x, w, lhr, prob: Problem = None):
         shard_m = As.shape[0] // mesh.shape[axis]
         if supports_fused_normal_matvec(shard_m, As.shape[1]):
             mv = lambda v: fused_normal_matvec_sharded(
-                As, w, v, mesh, axis) + lhr * v
+                As, w, v, mesh, axis,
+                overlap_chunks=getattr(method, "comm_overlap_chunks", 1),
+            ) + lhr * v
         else:
             mv = lambda v: As.T @ (w * (As @ v)) + lhr * v
     elif (method.kernels == "pallas"
@@ -281,7 +316,7 @@ def _glm_cg_system(method, prob: Problem, As, ys, x, lhr, weight_fn,
 
 def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
                 As, ys, x, x_prev, gq_prev, it, mem: LBFGSMemory,
-                d_prev=None) -> StepOut:
+                d_prev=None, bnorm_prev=None) -> StepOut:
     """Full (quasi-)Newton step with self-concordant damping.
 
     Direction: d = −(∇²f + λ·diag(Hr))⁻¹ (∇f + λ·gr)
@@ -308,6 +343,7 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
         gq = prob.grad_f(As, ys, x) + lgr
 
     cg_iters = jnp.int32(0)
+    bnorm = jnp.asarray(0.0, x.dtype)
     if solver == "dense":
         H = prob.hess_f(As, ys, x)
         d = -jnp.linalg.solve(H + lam * jnp.diag(Hr_diag), gq)
@@ -321,7 +357,8 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
                                        prob.hvp_w,
                                        lambda v: prob.hvp_f(As, ys, x, v))
         x0_cg = None if d_prev is None else -d_prev
-        res = cg_solve(mv, gq, x0_cg, tol=_cg_tol(method, x.dtype),
+        tol, bnorm = _forcing_tol(method, gq, x, x_prev, bnorm_prev, it)
+        res = cg_solve(mv, gq, x0_cg, tol=tol,
                        maxiter=method.cg_maxiter, M_inv=M_inv)
         d = -res.x
         cg_iters = res.iters
@@ -339,7 +376,8 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
     x_new, pri, dx = _damped_prox_update(
         method, prob, reg_name, sm, x, d, ss, lam, lgr, Hr_diag
     )
-    return StepOut(x_new, pri, dx, gq, jnp.zeros_like(x), mem, d, cg_iters)
+    return StepOut(x_new, pri, dx, gq, jnp.zeros_like(x), mem, d, cg_iters,
+                   bnorm)
 
 
 # ---------------------------------------------------------------------------
@@ -383,7 +421,7 @@ def _ggn_dense_direction(solver, prob: Problem, As, ys, x, gr, Hr_diag, lam):
 
 
 def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
-                      d_prev=None):
+                      d_prev=None, it=None, bnorm_prev=None, x_prev=None):
     """Matrix-free GGN-CG direction (the scalable TPU path).
 
     Solves the primal system (JᵀQJ + λ·diag(Hr)) d = −(Jᵀr + λ·gr)
@@ -451,14 +489,16 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
         mv, M_inv = _glm_cg_system(
             method, prob, As, ys, x, lhr, prob.ggn_w,
             lambda v: jt(q_diag * prob.jvp_out(As, x, v)))
-    res = cg_solve(mv, b, d_prev, tol=_cg_tol(method, x.dtype),
+    xp = x if x_prev is None else x_prev
+    tol, bnorm = _forcing_tol(method, b, x, xp, bnorm_prev, it)
+    res = cg_solve(mv, b, d_prev, tol=tol,
                    maxiter=method.cg_maxiter, M_inv=M_inv)
-    return res.x, res.iters
+    return res.x, res.iters, bnorm
 
 
 def ggn_step(method: ProxGGNSCORE, prob: Problem, reg_name: str, sm,
              As, ys, x, x_prev, gq_prev, it, mem: LBFGSMemory,
-             d_prev=None) -> StepOut:
+             d_prev=None, bnorm_prev=None) -> StepOut:
     """Generalized Gauss-Newton step with self-concordant damping."""
     lam = _lam_scalar(prob.lam)
     cw = _cw(prob, reg_name)
@@ -467,9 +507,11 @@ def ggn_step(method: ProxGGNSCORE, prob: Problem, reg_name: str, sm,
     Hr_diag = sm.hess_diag(x, cw)
 
     solver = _resolve_ggn_solver(method, prob, As, x)
+    bnorm = jnp.asarray(0.0, x.dtype)
     if solver == "cg":
-        d, cg_iters = _ggn_cg_direction(method, prob, As, ys, x, gr,
-                                        Hr_diag, lam, d_prev)
+        d, cg_iters, bnorm = _ggn_cg_direction(
+            method, prob, As, ys, x, gr, Hr_diag, lam, d_prev,
+            it=it, bnorm_prev=bnorm_prev, x_prev=x_prev)
     else:
         d = _ggn_dense_direction(solver, prob, As, ys, x, gr, Hr_diag, lam)
         cg_iters = jnp.int32(0)
@@ -487,7 +529,8 @@ def ggn_step(method: ProxGGNSCORE, prob: Problem, reg_name: str, sm,
     x_new, pri, dx = _damped_prox_update(
         method, prob, reg_name, sm, x, d, ss, lam, lgr, Hr_diag
     )
-    return StepOut(x_new, pri, dx, gq, jnp.zeros_like(x), mem, d, cg_iters)
+    return StepOut(x_new, pri, dx, gq, jnp.zeros_like(x), mem, d, cg_iters,
+                   bnorm)
 
 
 # ---------------------------------------------------------------------------
@@ -538,7 +581,8 @@ def lbfgs_step(method: ProxLQNSCORE, prob: Problem, reg_name: str, sm,
     gq_new = prob.grad_f(As, ys, x_new) + lam * sm.grad(x_new, cw)
     gamma = gq_new - gq
     mem = update_memory(mem, delta, gamma)
-    return StepOut(x_new, pri, dx, gq, gq_new, mem, d, jnp.int32(0))
+    return StepOut(x_new, pri, dx, gq, gq_new, mem, d, jnp.int32(0),
+                   jnp.asarray(0.0, x.dtype))
 
 
 def make_step_fn(method):

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from scso_tpu.ops.pallas import counters
 from scso_tpu.ops.pallas.matvec import (
     _pick_block_rows,
     supports_fused_normal_matvec,
@@ -132,5 +133,6 @@ def fused_glm_prep(A, y, x, rw_fn, w_fn):
         rw = rw_fn(y, z)
         w = w_fn(y, z)
         return w, A.T @ rw, jnp.einsum("i,ij,ij->j", w, A, A)
+    counters.bump("fused_glm_prep")
     interpret = jax.default_backend() != "tpu"
     return _fused_glm_prep(A, y, x, rw_fn, w_fn, interpret=interpret)

@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from scso_tpu.ops.pallas import counters
+
 # VMEM budget for ONE A tile (bytes). Pallas double-buffers the streamed
 # tile (2× this) and the ~16 MB/core VMEM must also hold w/v/out/acc;
 # 4 MB tiles keep the total near 9 MB (a 6 MB tile OOMed at 16.32 MB).
@@ -135,11 +137,13 @@ def fused_normal_matvec(A, w, v):
     m, n = A.shape
     if not supports_fused_normal_matvec(m, n):
         return A.T @ (w * (A @ v))
+    counters.bump("fused_normal_matvec")
     interpret = jax.default_backend() != "tpu"
     return _fused_normal_matvec(A, w, v, interpret=interpret)
 
 
-def fused_normal_matvec_sharded(A, w, v, mesh, data_axis: str = "data"):
+def fused_normal_matvec_sharded(A, w, v, mesh, data_axis: str = "data",
+                                overlap_chunks: int = 1):
     """Row-sharded Aᵀ(w∘(Av)): per-shard fused kernel + one psum.
 
     The GSPMD partitioner cannot split a pallas_call, so the sharded
@@ -147,6 +151,18 @@ def fused_normal_matvec_sharded(A, w, v, mesh, data_axis: str = "data"):
     single-pass kernel on its row shard and the (n,) partials psum over
     ICI — the multi-host version of the same one-A-read-per-matvec
     property. Falls back per-shard exactly like the unsharded entry.
+
+    ``overlap_chunks > 1`` switches to a comm/compute-overlapped
+    schedule: u = w∘(A·v) once, then the second contraction Aᵀu is split
+    into `overlap_chunks` output-column chunks whose psums are issued as
+    each chunk finishes — XLA's async collectives then overlap chunk c's
+    reduction with chunk c+1's matvec. Trade-off: the local shard is
+    read twice (the fused one-read property is given up), so this only
+    pays when the collective dominates — i.e. DCN-scale meshes with
+    large n. At the north-star shape (n = 10⁴ ⇒ 40 KB psum payload) the
+    collective is negligible next to the HBM-bound matvec and the
+    default single-psum fused path wins; measured weak-scaling numbers
+    live in benchmarks/scaling.py.
     """
     from functools import partial
 
@@ -161,6 +177,16 @@ def fused_normal_matvec_sharded(A, w, v, mesh, data_axis: str = "data"):
         check_vma=False,
     )
     def _shard_fn(As, ws, vs):
-        return jax.lax.psum(fused_normal_matvec(As, ws, vs), data_axis)
+        if overlap_chunks <= 1:
+            return jax.lax.psum(fused_normal_matvec(As, ws, vs), data_axis)
+        n = As.shape[1]
+        c = min(overlap_chunks, max(1, n // 128))
+        h = -(-n // c)
+        u = ws * (As @ vs)
+        outs = [
+            jax.lax.psum(As[:, i * h: (i + 1) * h].T @ u, data_axis)
+            for i in range(c)
+        ]
+        return jnp.concatenate(outs)
 
     return _shard_fn(A, w, v)

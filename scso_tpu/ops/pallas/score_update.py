@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from scso_tpu.ops.pallas import counters
+
 _LANES = 128
 _BLOCK_ROWS = 64  # 64×128 = 8192 elements per block
 
@@ -173,6 +175,7 @@ def fused_score_update(x, d, lgr, hr, lam, ss, Mg, reg_name: str,
     reg = reg_name if use_prox else "none"
     if not supports_fused_update(reg_name, use_prox):
         raise ValueError(f"fused update does not support reg {reg_name!r}")
+    counters.bump("fused_score_update")
     interpret = jax.default_backend() != "tpu"
     x_new, pri, _eta, safe = _fused_update(
         x, d, lgr, hr, lb, ub, lam, ss, Mg, reg, interpret)

@@ -23,6 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from scso_tpu.ops.lbfgs_core import LBFGSMemory
+from scso_tpu.ops.pallas import counters
 
 _LANES = 128
 _VMEM_BUDGET = 8 * 1024 * 1024
@@ -111,6 +112,7 @@ def fused_two_loop(mem: LBFGSMemory, grad: jax.Array) -> jax.Array:
     m, n = mem.S.shape
     if not supports_fused_two_loop(m, n, mem.S.dtype.itemsize):
         return two_loop(mem, grad)
+    counters.bump("fused_two_loop")
     interpret = jax.default_backend() != "tpu"
     return _two_loop_pallas(mem.S, mem.Y, grad, mem.pos, mem.count, mem.H0,
                             interpret=interpret)

@@ -481,3 +481,36 @@ class TestIntervalCSet:
         """Problem() → ProblemLike — parity: problems.jl:42."""
         p = scso.Problem()
         assert isinstance(p, scso.ProblemLike)
+
+
+class TestAdaptiveForcing:
+    """Eisenstat-Walker adaptive CG forcing (cg_adaptive=True): same
+    solution at the tolerance, fewer total CG iterations than the fixed
+    tight default."""
+
+    def _prob(self):
+        from scso_tpu.models import synthetic as syn
+        A, y, x0, _ = syn.make_sparse_logreg_data(
+            512, 128, density=0.1, n_active=16, seed=9, dtype=np.float64,
+            label01=True)
+        return scso.Problem(A, y, x0, losses.logistic01_f, 1e-2,
+                            grad_fx=losses.logistic01_grad,
+                            glm=losses.LOGISTIC01_GLM, dtype=np.float64)
+
+    @pytest.mark.parametrize("make_method", [
+        lambda **kw: scso.ProxGGNSCORE(solver="cg", **kw),
+        lambda **kw: scso.ProxNSCORE(solver="cg", **kw),
+    ])
+    def test_adaptive_matches_fixed_with_fewer_cg_iters(self, make_method):
+        prob = self._prob()
+        sm = scso.PHuberSmootherL1L2(1.0)
+        kw = dict(max_epoch=200, f_tol=1e-9, verbose=0, alpha=1.0)
+        fixed = scso.iterate(make_method(), prob, "l1", sm, **kw)
+        adapt = scso.iterate(make_method(cg_adaptive=True), prob, "l1",
+                             sm, **kw)
+        np.testing.assert_allclose(adapt.obj[-1], fixed.obj[-1], rtol=1e-7)
+        np.testing.assert_allclose(adapt.x, fixed.x, atol=1e-5)
+        assert (adapt.cg_info["total_cg_iters"]
+                < fixed.cg_info["total_cg_iters"])
+        # adaptive must not blow up the outer iteration count
+        assert adapt.epochs <= 2 * fixed.epochs + 5

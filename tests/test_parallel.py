@@ -275,3 +275,47 @@ class TestShardedFusedMatvec:
         sol = scso.iterate(scso.ProxGGNSCORE(solver="cg", kernels="pallas"),
                            sprob, "l1", sm, max_epoch=40, verbose=0)
         np.testing.assert_allclose(sol.x, ref.x, atol=1e-7)
+
+
+class TestCommOverlap:
+    def test_overlapped_sharded_matvec_matches_plain(self):
+        from scso_tpu.ops.pallas.matvec import fused_normal_matvec_sharded
+        from scso_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(21)
+        m, n = 512, 384
+        A = jnp.asarray(rng.standard_normal((m, n)))
+        w = jnp.asarray(rng.random(m))
+        v = jnp.asarray(rng.standard_normal(n))
+        mesh = make_mesh()
+        ref = np.asarray(A.T @ (w * (A @ v)))
+        plain = fused_normal_matvec_sharded(A, w, v, mesh)
+        over = fused_normal_matvec_sharded(A, w, v, mesh,
+                                           overlap_chunks=3)
+        np.testing.assert_allclose(np.asarray(plain), ref, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(over), ref, rtol=1e-10)
+
+    def test_overlapped_solve_matches_plain(self):
+        """End-to-end row-sharded GGN-CG with comm_overlap_chunks=2 lands
+        on the plain sharded path's solution (dryrun-compatible)."""
+        from scso_tpu.parallel import make_mesh, shard_problem
+        from scso_tpu.models import losses, synthetic
+
+        A, y, x0, _ = synthetic.make_sparse_logreg_data(
+            256, 128, density=0.1, n_active=8, seed=13, dtype=np.float64,
+            label01=True)
+        prob = scso.Problem(A, y, x0, losses.logistic01_f, 1e-2,
+                            grad_fx=losses.logistic01_grad,
+                            glm=losses.LOGISTIC01_GLM, dtype=np.float64)
+        sprob = shard_problem(prob, make_mesh())
+        sm = scso.PHuberSmootherL1L2(1.0)
+        kw = dict(max_epoch=30, verbose=0)
+        base = scso.iterate(
+            scso.ProxGGNSCORE(solver="cg", kernels="pallas"),
+            sprob, "l1", sm, **kw)
+        over = scso.iterate(
+            scso.ProxGGNSCORE(solver="cg", kernels="pallas",
+                              comm_overlap_chunks=2),
+            sprob, "l1", sm, **kw)
+        np.testing.assert_allclose(over.x, base.x, atol=1e-9)
+        assert over.epochs == base.epochs

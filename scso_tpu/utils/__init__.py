@@ -11,7 +11,13 @@ from scso_tpu.utils.checkpoint import (
     save_state,
     solution_to_state,
 )
-from scso_tpu.utils.profiling import trace_phase, profile_to
+from scso_tpu.utils.profiling import (
+    PhaseTimer,
+    device_memory_stats,
+    profile_solve,
+    profile_to,
+    trace_phase,
+)
 from scso_tpu.utils.debug import sanitize, solve_with_recovery
 
 __all__ = [
@@ -25,4 +31,7 @@ __all__ = [
     "solution_to_state",
     "trace_phase",
     "profile_to",
+    "PhaseTimer",
+    "device_memory_stats",
+    "profile_solve",
 ]

@@ -277,3 +277,38 @@ class TestFullStateResume:
                                resume_state=part.state)
         full = scso.iterate(meth, prob, "l1", sm, max_epoch=40, verbose=0)
         np.testing.assert_allclose(resumed.x, full.x, atol=1e-12)
+
+
+class TestProfiling:
+    def test_phase_timer(self):
+        from scso_tpu.utils import PhaseTimer
+        import jax.numpy as jnp
+
+        pt = PhaseTimer()
+        x = jnp.ones((64,))
+        with pt.phase("mul", sync_value=x):
+            y = x * 2
+        with pt.phase("mul", sync_value=y):
+            y = y * 2
+        with pt.phase("sum"):
+            y.sum()
+        tot = pt.totals()
+        assert set(tot) == {"mul", "sum"} and tot["mul"] > 0
+        assert pt.means()["mul"] <= tot["mul"]
+        assert "mul" in pt.report()
+
+    def test_profile_solve(self):
+        from scso_tpu.utils import profile_solve
+        from scso_tpu.models import synthetic as syn
+
+        A, y, x0, _ = syn.make_sparse_logreg_data(
+            64, 16, density=0.3, n_active=4, seed=0, dtype=np.float64)
+        prob = scso.Problem(A, y, x0, losses.logistic_f, 1e-2,
+                            grad_fx=losses.logistic_grad,
+                            hess_fx=losses.logistic_hess, dtype=np.float64)
+        sol, prof = profile_solve(scso.ProxNSCORE(), prob, "l1",
+                                  scso.PHuberSmootherL1L2(1.0),
+                                  max_epoch=15)
+        assert prof["epochs"] == sol.epochs
+        assert len(prof["epoch_times_s"]) >= 1
+        assert prof["total_s"] > 0

@@ -51,24 +51,26 @@ def _make_kernel(rw_fn, w_fn, acc_dtype):
             b_acc[:] = jnp.zeros_like(b_acc)
             hd_acc[:] = jnp.zeros_like(hd_acc)
 
+        # (1, k) ROW-vector layout throughout — (k, 1) columns tile as
+        # T(8,128), a k/8-tiles VMEM blow-up (see matvec.py)
         a = a_ref[:].astype(acc_dtype)                  # (BR, n)
-        z = jax.lax.dot_general(                        # A_b·x → (BR, 1)
-            a, x_ref[:].astype(acc_dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
+        z = jax.lax.dot_general(                        # x·A_bᵀ → (1, BR)
+            x_ref[:].astype(acc_dtype), a,
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=acc_dtype,
         )
         y = y_ref[:].astype(acc_dtype)
         rw = rw_fn(y, z)
         w = w_fn(y, z)
         w_out_ref[:] = w.astype(w_out_ref.dtype)
-        b_acc[:] += jax.lax.dot_general(                # A_bᵀ·rw → (n, 1)
-            a, rw,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+        b_acc[:] += jax.lax.dot_general(                # rw·A_b → (1, n)
+            rw, a,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=acc_dtype,
         )
-        hd_acc[:] += jax.lax.dot_general(               # (A²)_bᵀ·w → (n, 1)
-            a * a, w,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+        hd_acc[:] += jax.lax.dot_general(               # w·(A²)_b → (1, n)
+            w, a * a,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=acc_dtype,
         )
 
@@ -101,23 +103,23 @@ def _fused_glm_prep(A, y, x, rw_fn, w_fn, interpret=False):
         grid=(mp // br,),
         in_specs=[
             pl.BlockSpec((br, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((mp, 1), dt),
-            jax.ShapeDtypeStruct((n, 1), dt),
-            jax.ShapeDtypeStruct((n, 1), dt),
+            jax.ShapeDtypeStruct((1, mp), dt),
+            jax.ShapeDtypeStruct((1, n), dt),
+            jax.ShapeDtypeStruct((1, n), dt),
         ),
-        scratch_shapes=[pltpu.VMEM((n, 1), acc_dtype),
-                        pltpu.VMEM((n, 1), acc_dtype)],
+        scratch_shapes=[pltpu.VMEM((1, n), acc_dtype),
+                        pltpu.VMEM((1, n), acc_dtype)],
         interpret=interpret,
-    )(A, y.reshape(-1, 1), x.reshape(-1, 1))
+    )(A, y.reshape(1, -1), x.reshape(1, -1))
     return w.reshape(-1)[:m], b.reshape(-1), hd.reshape(-1)
 
 

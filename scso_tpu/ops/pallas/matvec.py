@@ -18,10 +18,11 @@ both contractions:
 The accumulator lives in a VMEM scratch across the sequential TPU grid
 and is written out once by the last program.
 
-Requires the full (n,) operand and accumulator in VMEM: n ≲ 3·10⁵ f32 and
-a (block_rows × n) tile ≲ a few MB. `fused_normal_matvec` picks block
-sizes automatically and raises if n is too large (callers fall back to
-the two-matmul jnp path).
+Requires the full (n,) operands (as (1, n) ROW vectors — column layout
+tiles T(8,128) and blows VMEM ~100×) and a (block_rows × n) tile in
+VMEM; the minimum 128-row tile bounds feasibility at n ≈ 13.9k f32.
+`fused_normal_matvec` picks block sizes automatically; infeasible shapes
+fall back to the two-matmul jnp path.
 """
 
 from __future__ import annotations
@@ -44,6 +45,11 @@ _MAX_N = 1 << 18  # (n,) vectors above this blow the VMEM accumulator
 
 def _make_kernel(br: int, acc_dtype):  # br kept for cache keying
     def _kernel(a_ref, w_ref, v_ref, out_ref, acc_ref):
+        # ALL vectors live as (1, k) ROW vectors: a (k, 1) column in VMEM
+        # is tiled T(8,128) — k/8 four-KB tiles for k values, a 100×
+        # layout blow-up that OOMs scoped VMEM at large n (observed:
+        # (10112,1) buffers cost 5.18 MB each, 31.9 MB total). Row
+        # vectors pack k/128 tiles — the actual 4·k bytes.
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -54,15 +60,15 @@ def _make_kernel(br: int, acc_dtype):  # br kept for cache keying
         # that's the HBM-bandwidth win — and upcast in-register for the
         # MXU (Mosaic rejects narrow-in/f32-acc matmuls: "Bad lhs type").
         a = a_ref[:].astype(acc_dtype)                # (BR, n) tile
-        t = jax.lax.dot_general(                      # A_b · v  → (BR, 1)
-            a, v_ref[:].astype(acc_dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
+        t = jax.lax.dot_general(                      # v · A_bᵀ → (1, BR)
+            v_ref[:].astype(acc_dtype), a,
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=acc_dtype,
         )
-        u = w_ref[:].astype(acc_dtype) * t            # (BR, 1)
-        acc_ref[:] += jax.lax.dot_general(            # A_bᵀ · u → (n, 1)
-            a, u,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+        u = w_ref[:].astype(acc_dtype) * t            # (1, BR)
+        acc_ref[:] += jax.lax.dot_general(            # u · A_b → (1, n)
+            u, a,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=acc_dtype,
         )
 
@@ -105,26 +111,40 @@ def _fused_normal_matvec(A, w, v, interpret=False):
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((br, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n, 1), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((1, n), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 1), out_dtype),
-        scratch_shapes=[pltpu.VMEM((n, 1), acc_dtype)],
+        out_shape=jax.ShapeDtypeStruct((1, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((1, n), acc_dtype)],
         cost_estimate=pl.CostEstimate(
             flops=4 * mp * n,
             bytes_accessed=mp * n * A.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(A, w.reshape(-1, 1), v.reshape(-1, 1))
+    )(A, w.reshape(1, -1), v.reshape(1, -1))
     return out.reshape(-1)
 
 
-def supports_fused_normal_matvec(m: int, n: int) -> bool:
-    """Static feasibility check for the fused kernel."""
-    return 0 < n <= _MAX_N and m >= 8 and n % 128 == 0
+# scoped-VMEM budget for feasibility (the hardware limit is 16 MB/core;
+# leave headroom for Mosaic's own temporaries)
+_SCOPED_VMEM = 14 * 1024 * 1024
+
+
+def supports_fused_normal_matvec(m: int, n: int, itemsize: int = 4) -> bool:
+    """Static feasibility check for the fused kernel.
+
+    Requires lane-aligned n and the minimum (128-row) tile plus the
+    (1, n) row vectors to fit scoped VMEM — at large n the row count
+    clamps to 128 and the tile grows ∝ n (f32 ceiling ≈ n = 13.9k)."""
+    if not (0 < n <= _MAX_N and m >= 8 and n % 128 == 0):
+        return False
+    eff = 2 * itemsize + (4 if itemsize < 4 else 0)
+    br = _pick_block_rows(m, n, itemsize)
+    vmem = br * n * eff + 4 * (3 * n * 4)
+    return vmem <= _SCOPED_VMEM
 
 
 def fused_normal_matvec(A, w, v):

@@ -143,9 +143,12 @@ def bench_big_sweep(quick=False):
     sm = scso.PHuberSmootherL1L2(1.0)
     lam_grid = np.logspace(-3, -0.5, B).astype(np.float32)
     mesh = make_mesh(axis_names=("batch",)) if len(jax.devices()) > 1 else None
+    # stats_every=4: under vmap the two-level stats loop is what makes
+    # this amortization real (a k%K cond would lower to select)
     run = lambda: sweep(scso.ProxNSCORE(solver="cg", ss_type=3), prob, "l1",
                         sm, lam_grid=lam_grid,
-                        opts=scso.Options(max_epoch=60, verbose=0),
+                        opts=scso.Options(max_epoch=60, verbose=0,
+                                          stats_every=4),
                         mesh=mesh)
     dt, res = timeit(run)
     return dict(config=f"lambda_sweep_x{B}", seconds=round(dt, 4),

@@ -353,39 +353,27 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
             key=jax.random.PRNGKey(rng_seed),
         )
 
-    def epoch_body(carry: Carry) -> Carry:
-        def with_stats(_):
-            fval, obj, rel, objrel, raw_frel, ftst, mvals = _stats(
-                prob, reg_name, carry.x, obj_star, x_tol, f_tol, metric_fns
-            )
-            if opts.verbose > 1:
-                # show_stat!-style block (utils/utils.jl:50-79); Δtime is
-                # host-side wall clock and unavailable on-device
-                _, label = method.display()
-                fields = ("--------------------------------\n"
-                          f"Optimizer = {label}\n"
-                          "epoch = {k}\nobj = {o}\nfval = {f}\n"
-                          "pri_res_norm = {p}\n")
-                kw = dict(k=carry.k, o=obj, f=fval, p=carry.pri_res, r=rel)
-                if prob.Atest is not None and prob.ytest is not None:
-                    fields += "fvaltest = {t}\n"
-                    kw["t"] = ftst
-                jax.debug.print(fields + "rel_error = {r}", **kw)
-            return _record(carry.hist, fval, obj, rel, objrel,
-                           carry.pri_res, ftst, mvals), raw_frel
+    def with_stats(carry: Carry):
+        fval, obj, rel, objrel, raw_frel, ftst, mvals = _stats(
+            prob, reg_name, carry.x, obj_star, x_tol, f_tol, metric_fns
+        )
+        if opts.verbose > 1:
+            # show_stat!-style block (utils/utils.jl:50-79); Δtime is
+            # host-side wall clock and unavailable on-device
+            _, label = method.display()
+            fields = ("--------------------------------\n"
+                      f"Optimizer = {label}\n"
+                      "epoch = {k}\nobj = {o}\nfval = {f}\n"
+                      "pri_res_norm = {p}\n")
+            kw = dict(k=carry.k, o=obj, f=fval, p=carry.pri_res, r=rel)
+            if prob.Atest is not None and prob.ytest is not None:
+                fields += "fvaltest = {t}\n"
+                kw["t"] = ftst
+            jax.debug.print(fields + "rel_error = {r}", **kw)
+        return _record(carry.hist, fval, obj, rel, objrel,
+                       carry.pri_res, ftst, mvals), raw_frel
 
-        if opts.stats_every <= 1:
-            hist, raw_frel = with_stats(None)
-        else:
-            # stats are the other half of the epoch cost (a full data pass
-            # for fval); amortize them over stats_every epochs. Stopping
-            # on f_tol then uses the last recorded gap.
-            hist, raw_frel = lax.cond(
-                carry.k % opts.stats_every == 0,
-                with_stats,
-                lambda _: (carry.hist, carry.frel),
-                None,
-            )
+    def step_epoch(carry: Carry, raw_frel) -> Carry:
         it = carry.k + 1  # 1-based like the reference epoch_t
 
         if batching is None:
@@ -452,12 +440,40 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
                      d_prev=d_prev, cg_total=cg_total, bnorm_prev=bn_prev,
                      frel=raw_frel,
                      k=carry.k + 1, pri_res=pri, done=conv, mem=mem,
-                     hist=hist, key=key)
+                     hist=carry.hist, key=key)
 
     def cond(carry: Carry):
         return (~carry.done) & (carry.k < max_epoch)
 
-    carry = lax.while_loop(cond, epoch_body, carry0)
+    if opts.stats_every <= 1:
+        def epoch_body(carry: Carry) -> Carry:
+            hist, raw_frel = with_stats(carry)
+            return step_epoch(carry._replace(hist=hist), raw_frel)
+
+        carry = lax.while_loop(cond, epoch_body, carry0)
+    else:
+        # Stats (a full data pass for fval) are the other half of the
+        # epoch cost; amortize them over stats_every epochs with a TWO-
+        # LEVEL loop: stats once per round, then stats_every plain steps.
+        # A k%K lax.cond would serve the scalar case, but under vmap a
+        # batched-predicate cond lowers to select (BOTH branches run) —
+        # the nested loop keeps the amortization real for sweeps/fleets.
+        # Stopping still checks every epoch; f_tol uses the round's gap.
+        def round_body(carry: Carry) -> Carry:
+            hist, raw_frel = with_stats(carry)
+            carry = carry._replace(hist=hist, frel=raw_frel)
+
+            def inner(_, c):
+                return lax.cond(
+                    (~c.done) & (c.k < max_epoch),
+                    lambda c: step_epoch(c, c.frel),
+                    lambda c: c,
+                    c,
+                )
+
+            return lax.fori_loop(0, opts.stats_every, inner, carry)
+
+        carry = lax.while_loop(cond, round_body, carry0)
 
     # final record at the terminating iterate
     fval, obj, rel, objrel, _, ftst, mvals = _stats(

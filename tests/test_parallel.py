@@ -111,6 +111,28 @@ class TestSweep:
             np.testing.assert_allclose(res.obj[i], ref.obj[-1], rtol=1e-10)
             assert res.epochs[i] == ref.epochs
 
+    def test_stats_every_amortized_sweep_matches(self):
+        # the two-level stats loop (outer while over rounds, inner fori of
+        # plain steps) must reach the same iterates as per-epoch stats —
+        # and it is what keeps stats_every real under vmap, where a
+        # batched-predicate lax.cond lowers to select (both branches run)
+        prob = make_logreg(m=32, n=8)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        lam_grid = np.array([1e-3, 1e-2, 1e-1, 1.0])
+        res1 = sweep(scso.ProxNSCORE(), prob, "l1", sm, lam_grid=lam_grid,
+                     opts=scso.Options(max_epoch=100, verbose=0))
+        res4 = sweep(scso.ProxNSCORE(), prob, "l1", sm, lam_grid=lam_grid,
+                     opts=scso.Options(max_epoch=100, verbose=0,
+                                       stats_every=4))
+        # identical trajectory; stopping may lag < stats_every epochs
+        # (f_tol sees the gap only at round starts)
+        np.testing.assert_allclose(res4.x, res1.x, atol=1e-8)
+        assert np.all(np.asarray(res4.epochs) >= np.asarray(res1.epochs))
+        assert np.all(np.asarray(res4.epochs)
+                      < np.asarray(res1.epochs) + 4)
+        # histories recorded at round starts only
+        assert np.all(np.asarray(res4.n_rec) <= np.asarray(res1.n_rec))
+
     def test_mu_grid(self):
         prob = make_logreg(m=32, n=8)
         sm = scso.PHuberSmootherL1L2(1.0)

@@ -56,6 +56,9 @@ PAD = bool(int(os.environ.get("BENCH_PAD", "0")))
 # BENCH_ADAPTIVE=1: Eisenstat-Walker step-length forcing instead of the
 # fixed 3e-4 cg_tol
 ADAPTIVE = bool(int(os.environ.get("BENCH_ADAPTIVE", "0")))
+# BENCH_FUSED_PREP=1: single-pass Pallas GLM epoch prep (z + RHS + Jacobi
+# diag in one A read) instead of XLA's three fused passes
+FUSED_PREP = bool(int(os.environ.get("BENCH_FUSED_PREP", "0")))
 SEED = 7
 CHUNK = 60            # epochs per compiled chunk (ONE program for all)
 GAP = 1e-6
@@ -88,7 +91,8 @@ def main():
     # to ~3e-4 while CG iterations drop ~45% (knee measured on the gap-
     # anchored CPU protocol; 1e-3 starts costing epochs)
     method = scso.ProxGGNSCORE(solver="cg", cg_tol=3e-4, cg_maxiter=100,
-                               cg_adaptive=ADAPTIVE)
+                               cg_adaptive=ADAPTIVE,
+                               use_fused_prep=FUSED_PREP)
     sm = scso.PHuberSmootherL1L2(1.0)
     # stats_every=4: the per-epoch stats pass (full-data fval) is ~half
     # the epoch cost; amortizing it trades ≤3 extra epochs at stop time.

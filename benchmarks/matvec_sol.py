@@ -10,7 +10,10 @@ Questions, in order:
 
 Every variant runs as an in-jit lax.fori_loop of REPS iterations with a
 scalar fetched at the end (tunnel-proof timing; see memory notes — host
-block_until_ready over the axon tunnel under-reports).
+block_until_ready over the axon tunnel under-reports). Every loop body
+must DEPEND on the carry — a loop-invariant pallas_call gets hoisted out
+of the fori_loop by XLA and reports physically impossible bandwidth
+(observed: 1845 GB/s on an 819 GB/s part).
 
 Run on TPU:  python benchmarks/matvec_sol.py [--m 524288] [--n 1024]
 """
@@ -23,6 +26,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 try:
     _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -46,26 +50,17 @@ if jax.default_backend() == "tpu":
 REPS = 50
 
 
-def timed(fn, *args):
-    """In-jit loop timing: seconds per iteration."""
-    out = jax.block_until_ready(fn(*args))  # compile + warm
-    t0 = time.perf_counter()
-    out = fn(*args)
-    val = float(jnp.sum(out) if hasattr(out, "shape") else out)
-    dt = (time.perf_counter() - t0) / REPS
-    return dt, val
-
-
 # --- 1. pure-read reduce kernel (bandwidth ceiling) ------------------------
 
 
-def make_read_kernel(tile_bytes: int):
-    def kernel(a_ref, out_ref, acc_ref):
+def make_read_kernel():
+    def kernel(seed_ref, a_ref, out_ref, acc_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            acc_ref[0, 0] = jnp.zeros((), jnp.float32)
+            # seed makes the call carry-dependent (defeats hoisting)
+            acc_ref[0, 0] = seed_ref[0, 0]
 
         acc_ref[0, 0] += jnp.sum(a_ref[:])
 
@@ -74,19 +69,20 @@ def make_read_kernel(tile_bytes: int):
             out_ref[0, 0] = acc_ref[0, 0]
 
     @functools.partial(jax.jit, static_argnames=("br",))
-    def read_sum(A, br):
+    def read_sum(seed, A, br):
         m, n = A.shape
-        grid = m // br
         return pl.pallas_call(
             kernel,
-            grid=(grid,),
-            in_specs=[pl.BlockSpec((br, n), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
-                                   memory_space=pltpu.SMEM),
+            grid=(m // br,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((br, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
             scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
-        )(A)
+        )(seed, A)
 
     return read_sum
 
@@ -123,91 +119,101 @@ def main():
     gib = m * n * 4 / 2**30
     results = {}
 
-    def report(name, dt):
-        bw = m * n * 4 / dt / 1e9
+    def report(name, dt, nbytes=m * n * 4):
+        bw = nbytes / dt / 1e9
         results[name] = dict(ms=round(dt * 1e3, 3), GBps=round(bw, 1))
         print(f"{name:34s} {dt*1e3:8.3f} ms   {bw:7.1f} GB/s", flush=True)
 
+    def guard(name, fn):
+        try:
+            fn()
+        except Exception as e:
+            results[name] = dict(error=str(e)[:200])
+            print(f"{name} FAILED: {str(e)[:160]}", flush=True)
+
     # 0. XLA reduce (its own streaming bandwidth)
-    @jax.jit
-    def xla_sum_loop(A, w, v):
-        def body(i, acc):
-            return acc + jnp.sum(A * (1.0 + 0.0 * acc))
-        return lax.fori_loop(0, REPS, body, jnp.float32(0.0))
-
-    t0 = time.perf_counter()
-    val = float(jax.block_until_ready(xla_sum_loop(A, w, v)))
-    warm = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    val = float(jax.block_until_ready(xla_sum_loop(A, w, v)))
-    report("xla A.sum (read ceiling)", (time.perf_counter() - t0) / REPS)
-
-    # 1. pallas pure-read reduce at several tile sizes
-    for tile_mb in (4, 8):
-        br = max(128, (2 * tile_mb * 2**20 // (n * 4) // 128) * 128)
-        if m % br:
-            continue
-        read_sum = make_read_kernel(tile_mb)
-
+    def exp_xla_sum():
         @jax.jit
-        def read_loop(A, br=br, rs=read_sum):
+        def xla_sum_loop(A):
             def body(i, acc):
-                return acc + rs(A, br)[0, 0]
+                # multiply by a carry-dependent scalar: fuses into the
+                # reduce (no temp) but defeats loop-invariant hoisting
+                return acc + jnp.sum(A * (1.0 + 0.0 * acc))
             return lax.fori_loop(0, REPS, body, jnp.float32(0.0))
 
+        float(jax.block_until_ready(xla_sum_loop(A)))  # compile + warm
         t0 = time.perf_counter()
-        val = float(jax.block_until_ready(read_loop(A)))
-        warm = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        val = float(jax.block_until_ready(read_loop(A)))
-        report(f"pallas read-reduce ({tile_mb}MB/2 tiles)",
-               (time.perf_counter() - t0) / REPS)
+        float(jax.block_until_ready(xla_sum_loop(A)))
+        report("xla A.sum (read ceiling)", (time.perf_counter() - t0) / REPS)
+
+    guard("xla A.sum (read ceiling)", exp_xla_sum)
+
+    # 1. pallas pure-read reduce at several tile sizes (tile_mb is the
+    #    per-buffer size; Pallas double-buffers, so VMEM holds 2x)
+    read_sum = make_read_kernel()
+    for tile_mb in (2, 4, 7):
+        name = f"pallas read-reduce ({tile_mb}MB tiles)"
+
+        def exp_read(tile_mb=tile_mb, name=name):
+            br = max(128, (tile_mb * 2**20 // (n * 4) // 128) * 128)
+            if m % br:
+                print(f"{name}: skip (m % br)", flush=True)
+                return
+
+            @jax.jit
+            def read_loop(A):
+                def body(i, acc):
+                    seed = acc.reshape(1, 1)
+                    return read_sum(seed, A, br)[0, 0]
+                return lax.fori_loop(0, REPS, body, jnp.float32(0.0))
+
+            float(jax.block_until_ready(read_loop(A)))
+            t0 = time.perf_counter()
+            float(jax.block_until_ready(read_loop(A)))
+            report(name, (time.perf_counter() - t0) / REPS)
+
+        guard(name, exp_read)
 
     # 2. XLA two-matmul pair
-    pair = loop_fn(lambda A, w, x: A.T @ (w * (A @ x)))
-    t0 = time.perf_counter()
-    jax.block_until_ready(pair(A, w, v))
-    t0 = time.perf_counter()
-    jax.block_until_ready(pair(A, w, v))
-    report("xla two-matmul pair", (time.perf_counter() - t0) / REPS)
+    def exp_pair():
+        pair = loop_fn(lambda A, w, x: A.T @ (w * (A @ x)))
+        jax.block_until_ready(pair(A, w, v))
+        t0 = time.perf_counter()
+        jax.block_until_ready(pair(A, w, v))
+        report("xla two-matmul pair", (time.perf_counter() - t0) / REPS)
 
-    # 3. fused kernel — current settings
+    guard("xla two-matmul pair", exp_pair)
+
+    # 3/4. fused kernel — default then tile-size sweep (mutates the module
+    #      constant; each size is a fresh trace because block_rows changes)
     from scso_tpu.ops.pallas import matvec as mv
 
-    fused = loop_fn(lambda A, w, x: mv.fused_normal_matvec(A, w, x))
-    jax.block_until_ready(fused(A, w, v))
-    t0 = time.perf_counter()
-    jax.block_until_ready(fused(A, w, v))
-    report(f"fused matvec (tile={mv._TILE_BYTES>>20}MB)",
-           (time.perf_counter() - t0) / REPS)
+    default_mb = mv._TILE_BYTES >> 20
+    for tile_mb in (default_mb, 2, 5, 6, 7):
+        name = f"fused matvec (tile={tile_mb}MB)"
 
-    # 4. fused kernel — tile-size sweep (mutates module constant; each
-    #    size is a fresh trace because block_rows changes)
-    for tile_mb in (2, 5, 6):
-        mv._TILE_BYTES = tile_mb * 1024 * 1024
-        fused = loop_fn(lambda A, w, x: mv.fused_normal_matvec(A, w, x))
-        try:
+        def exp_fused(tile_mb=tile_mb, name=name):
+            mv._TILE_BYTES = tile_mb * 1024 * 1024
+            fused = loop_fn(lambda A, w, x: mv.fused_normal_matvec(A, w, x))
             jax.block_until_ready(fused(A, w, v))
             t0 = time.perf_counter()
             jax.block_until_ready(fused(A, w, v))
-            report(f"fused matvec (tile={tile_mb}MB)",
-                   (time.perf_counter() - t0) / REPS)
-        except Exception as e:  # VMEM OOM etc.
-            print(f"fused tile={tile_mb}MB FAILED: {str(e)[:120]}",
-                  flush=True)
-    mv._TILE_BYTES = 4 * 1024 * 1024
+            report(name, (time.perf_counter() - t0) / REPS)
+
+        guard(name, exp_fused)
+    mv._TILE_BYTES = default_mb * 1024 * 1024
 
     # 5. bf16-stored A through the fused kernel (CG-operator candidate)
-    Ab = A.astype(jnp.bfloat16)
-    fused16 = loop_fn(lambda Ab, w, x: mv.fused_normal_matvec(Ab, w, x))
-    jax.block_until_ready(fused16(Ab, w, v))
-    t0 = time.perf_counter()
-    jax.block_until_ready(fused16(Ab, w, v))
-    dt = (time.perf_counter() - t0) / REPS
-    results["fused matvec bf16 A"] = dict(
-        ms=round(dt * 1e3, 3), GBps=round(m * n * 2 / dt / 1e9, 1))
-    print(f"{'fused matvec bf16 A':34s} {dt*1e3:8.3f} ms   "
-          f"{m*n*2/dt/1e9:7.1f} GB/s (bf16 bytes)", flush=True)
+    def exp_bf16():
+        Ab = A.astype(jnp.bfloat16)
+        fused16 = loop_fn(lambda Ab, w, x: mv.fused_normal_matvec(Ab, w, x))
+        jax.block_until_ready(fused16(Ab, w, v))
+        t0 = time.perf_counter()
+        jax.block_until_ready(fused16(Ab, w, v))
+        report("fused matvec bf16 A", (time.perf_counter() - t0) / REPS,
+               nbytes=m * n * 2)
+
+    guard("fused matvec bf16 A", exp_bf16)
 
     payload = dict(metric="matvec_sol", m=m, n=n, gib=round(gib, 3),
                    device=jax.devices()[0].device_kind, results=results)

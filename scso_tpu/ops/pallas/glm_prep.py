@@ -51,28 +51,22 @@ def _make_kernel(rw_fn, w_fn, acc_dtype):
             b_acc[:] = jnp.zeros_like(b_acc)
             hd_acc[:] = jnp.zeros_like(hd_acc)
 
-        # (1, k) ROW-vector layout throughout — (k, 1) columns tile as
-        # T(8,128), a k/8-tiles VMEM blow-up (see matvec.py)
+        # Layout rules as in matvec.py: length-n vectors are (1, n) rows,
+        # per-row (length-br) vectors are (br, 1) columns, and the n-
+        # contractions run on the VPU as broadcast-multiply-reduces (a
+        # dot_general against a row vector makes Mosaic materialize a
+        # transposed tile copy — a scoped-VMEM OOM).
         a = a_ref[:].astype(acc_dtype)                  # (BR, n)
-        z = jax.lax.dot_general(                        # x·A_bᵀ → (1, BR)
-            x_ref[:].astype(acc_dtype), a,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=acc_dtype,
-        )
-        y = y_ref[:].astype(acc_dtype)
-        rw = rw_fn(y, z)
-        w = w_fn(y, z)
+        x = x_ref[:].astype(acc_dtype)                  # (1, n)
+        z = jnp.sum(a * x, axis=1, keepdims=True)       # A_b·x → (BR, 1)
+        y = y_ref[:].astype(acc_dtype)                  # (BR, 1)
+        rw = rw_fn(y, z)                                # (BR, 1)
+        w = w_fn(y, z)                                  # (BR, 1)
         w_out_ref[:] = w.astype(w_out_ref.dtype)
-        b_acc[:] += jax.lax.dot_general(                # rw·A_b → (1, n)
-            rw, a,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=acc_dtype,
-        )
-        hd_acc[:] += jax.lax.dot_general(               # w·(A²)_b → (1, n)
-            w, a * a,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=acc_dtype,
-        )
+        b_acc[:] += jnp.sum(a * rw, axis=0,             # A_bᵀ·rw → (1, n)
+                            keepdims=True)
+        hd_acc[:] += jnp.sum(a * a * w, axis=0,         # (A²)_bᵀ·w → (1, n)
+                             keepdims=True)
 
         @pl.when(i == pl.num_programs(0) - 1)
         def _():
@@ -103,23 +97,23 @@ def _fused_glm_prep(A, y, x, rw_fn, w_fn, interpret=False):
         grid=(mp // br,),
         in_specs=[
             pl.BlockSpec((br, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, br), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, br), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, mp), dt),
+            jax.ShapeDtypeStruct((mp, 1), dt),
             jax.ShapeDtypeStruct((1, n), dt),
             jax.ShapeDtypeStruct((1, n), dt),
         ),
         scratch_shapes=[pltpu.VMEM((1, n), acc_dtype),
                         pltpu.VMEM((1, n), acc_dtype)],
         interpret=interpret,
-    )(A, y.reshape(1, -1), x.reshape(1, -1))
+    )(A, y.reshape(-1, 1), x.reshape(1, -1))
     return w.reshape(-1)[:m], b.reshape(-1), hd.reshape(-1)
 
 

@@ -45,11 +45,20 @@ _MAX_N = 1 << 18  # (n,) vectors above this blow the VMEM accumulator
 
 def _make_kernel(br: int, acc_dtype):  # br kept for cache keying
     def _kernel(a_ref, w_ref, v_ref, out_ref, acc_ref):
-        # ALL vectors live as (1, k) ROW vectors: a (k, 1) column in VMEM
-        # is tiled T(8,128) — k/8 four-KB tiles for k values, a 100×
-        # layout blow-up that OOMs scoped VMEM at large n (observed:
-        # (10112,1) buffers cost 5.18 MB each, 31.9 MB total). Row
-        # vectors pack k/128 tiles — the actual 4·k bytes.
+        # LAYOUT RULES (each violation measured as a VMEM OOM or a 2×
+        # slowdown at some shape):
+        #  * length-n vectors (v, acc, out) are (1, n) ROWS — an (n, 1)
+        #    column tiles T(8,128), n/8 four-KB tiles for n values, which
+        #    OOMs scoped VMEM at n ≈ 10⁴ (observed 31.9 MB for 6 buffers);
+        #  * the n-contractions run on the VPU as broadcast-multiply-
+        #    reduces, NOT the MXU — dot_general against a (1, n) row makes
+        #    Mosaic materialize a transposed A tile (observed +2×5.18 MB,
+        #    OOM even at n = 1024); the kernel is HBM-bandwidth-bound, so
+        #    the VPU (~ TFLOP/s) is nowhere near the bottleneck
+        #    (~0.5 GFLOP per GB streamed);
+        #  * w blocks stay (br, 1) columns: br ≤ 1024 keeps the T(8,128)
+        #    padding ≤ 0.5 MB, and the (br, 1) shape is what the lane-
+        #    reduced t and the sublane-reduce both want.
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -57,20 +66,13 @@ def _make_kernel(br: int, acc_dtype):  # br kept for cache keying
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
         # Tiles are STORED (and DMA'd) in the input dtype — for bf16 A
-        # that's the HBM-bandwidth win — and upcast in-register for the
-        # MXU (Mosaic rejects narrow-in/f32-acc matmuls: "Bad lhs type").
+        # that's the HBM-bandwidth win — and upcast in-register.
         a = a_ref[:].astype(acc_dtype)                # (BR, n) tile
-        t = jax.lax.dot_general(                      # v · A_bᵀ → (1, BR)
-            v_ref[:].astype(acc_dtype), a,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=acc_dtype,
-        )
-        u = w_ref[:].astype(acc_dtype) * t            # (1, BR)
-        acc_ref[:] += jax.lax.dot_general(            # u · A_b → (1, n)
-            u, a,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=acc_dtype,
-        )
+        v = v_ref[:].astype(acc_dtype)                # (1, n)
+        t = jnp.sum(a * v, axis=1, keepdims=True)     # A_b·v → (BR, 1)
+        u = w_ref[:].astype(acc_dtype) * t            # (BR, 1)
+        acc_ref[:] += jnp.sum(a * u, axis=0,          # A_bᵀ·u → (1, n)
+                              keepdims=True)
 
         @pl.when(i == pl.num_programs(0) - 1)
         def _():
@@ -85,7 +87,9 @@ def _pick_block_rows(m: int, n: int, itemsize: int) -> int:
     # bf16 tile budgeted on storage alone OOMs scoped VMEM by ~4 MB.
     eff = 2 * itemsize + (4 if itemsize < 4 else 0)
     br = max(128, 2 * _TILE_BYTES // max(1, n * eff))
-    br = min(br, max(128, m))
+    # ≤ 2048: the (br, 1) w block pads to br/8 sublane-tiles (br × 0.5 KB
+    # per buffer); the cap bounds that at 2 MB double-buffered
+    br = min(br, max(128, m), 2048)
     # multiple of 128 so the (BR/128, 128) weight layout stays exact
     return max(128, (br // 128) * 128)
 
@@ -111,7 +115,7 @@ def _fused_normal_matvec(A, w, v, interpret=False):
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((br, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, br), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n), lambda i: (0, 0),
@@ -124,7 +128,7 @@ def _fused_normal_matvec(A, w, v, interpret=False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(A, w.reshape(1, -1), v.reshape(1, -1))
+    )(A, w.reshape(-1, 1), v.reshape(1, -1))
     return out.reshape(-1)
 
 
@@ -143,7 +147,9 @@ def supports_fused_normal_matvec(m: int, n: int, itemsize: int = 4) -> bool:
         return False
     eff = 2 * itemsize + (4 if itemsize < 4 else 0)
     br = _pick_block_rows(m, n, itemsize)
-    vmem = br * n * eff + 4 * (3 * n * 4)
+    # A tile (double-buffered + upcast) + w column padding (br/8 sublane-
+    # tiles × 4 KB × 2 buffers) + (1, n) rows (v, acc, out)
+    vmem = br * n * eff + 2 * (br // 8) * 4096 + 4 * (3 * n * 4)
     return vmem <= _SCOPED_VMEM
 
 

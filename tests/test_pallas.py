@@ -425,15 +425,3 @@ class TestFusedGLMPrep:
         assert calls, "fused_glm_prep was never invoked on the pallas path"
 
 
-class TestPipelinedMatvec:
-    def test_matches_reference(self):
-        from scso_tpu.ops.pallas.matvec_pipelined import (
-            fused_normal_matvec_pipelined)
-        rng = np.random.default_rng(13)
-        A = jnp.asarray(rng.standard_normal((640, 128)))
-        w = jnp.asarray(rng.random(640))
-        v = jnp.asarray(rng.standard_normal(128))
-        got = fused_normal_matvec_pipelined(A, w, v)
-        np.testing.assert_allclose(np.asarray(got),
-                                   np.asarray(A.T @ (w * (A @ v))),
-                                   rtol=1e-12)

@@ -19,6 +19,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from typing import NamedTuple
 
@@ -354,21 +355,18 @@ def make_problem(
             "(A, y, x0, f, lam, ...)"
         )
 
-    x0 = jnp.asarray(x0, dtype=dtype)
-    dt = x0.dtype
-    lam = jnp.asarray(lam, dtype=dt)
-    to = lambda v: None if v is None else jnp.asarray(v, dtype=dt)
-    A, y, Atest, ytest = to(A), to(y), to(Atest), to(ytest)
-    x_star = to(sol) if sol is not None else jnp.zeros_like(x0)
-    lb, ub = _resolve_bounds(C_set, dt)
-    L = None if L is None else jnp.asarray(L, dtype=dt)
     grp = groups if groups is not None else P
 
+    # Pad BEFORE the device transfer: at north-star scale A is ~8 GiB on a
+    # 16 GiB chip, so a device-side pad (original + padded alive during the
+    # concatenate) exhausts HBM. Host (numpy) inputs are padded in host RAM
+    # into a fresh zero buffer; already-device inputs fall back to a device
+    # concatenate (caller keeps A small or pre-padded in that case).
     n_true = None
     if pad_features:
-        n = x0.shape[-1]
+        n = np.shape(x0)[-1]
         pad = (-n) % 128
-        if grp is not None or lb is not None or ub is not None:
+        if grp is not None or C_set is not None:
             raise ValueError(
                 "pad_features supports l1/l2/no-prox problems only: "
                 "padded coordinates stay exactly 0 through those prox "
@@ -377,14 +375,33 @@ def make_problem(
             )
         if pad:
             n_true = n
-            zpad = lambda v: jnp.concatenate(
-                [v, jnp.zeros(v.shape[:-1] + (pad,), v.dtype)], axis=-1)
+
+            def zpad(v):
+                if v is None:
+                    return None
+                if isinstance(v, jax.Array):
+                    return jnp.concatenate(
+                        [v, jnp.zeros(v.shape[:-1] + (pad,), v.dtype)],
+                        axis=-1)
+                vv = np.asarray(v)
+                out = np.zeros(vv.shape[:-1] + (vv.shape[-1] + pad,),
+                               dtype=vv.dtype)
+                out[..., :vv.shape[-1]] = vv
+                return out
+
             x0 = zpad(x0)
-            x_star = zpad(x_star)
-            if A is not None:
-                A = zpad(A)
-            if Atest is not None:
-                Atest = zpad(Atest)
+            sol = zpad(sol)
+            A = zpad(A)
+            Atest = zpad(Atest)
+
+    x0 = jnp.asarray(x0, dtype=dtype)
+    dt = x0.dtype
+    lam = jnp.asarray(lam, dtype=dt)
+    to = lambda v: None if v is None else jnp.asarray(v, dtype=dt)
+    A, y, Atest, ytest = to(A), to(y), to(Atest), to(ytest)
+    x_star = to(sol) if sol is not None else jnp.zeros_like(x0)
+    lb, ub = _resolve_bounds(C_set, dt)
+    L = None if L is None else jnp.asarray(L, dtype=dt)
 
     return Problem(
         x0=x0,

@@ -145,15 +145,26 @@ def bench_big_sweep(quick=False):
     mesh = make_mesh(axis_names=("batch",)) if len(jax.devices()) > 1 else None
     # stats_every=4: under vmap the two-level stats loop is what makes
     # this amortization real (a k%K cond would lower to select)
-    run = lambda: sweep(scso.ProxNSCORE(solver="cg", ss_type=3), prob, "l1",
-                        sm, lam_grid=lam_grid,
-                        opts=scso.Options(max_epoch=60, verbose=0,
-                                          stats_every=4),
-                        mesh=mesh)
+    opts = scso.Options(max_epoch=60, verbose=0, stats_every=4)
+    meth = scso.ProxNSCORE(solver="cg", ss_type=3)
+    run = lambda: sweep(meth, prob, "l1", sm, lam_grid=lam_grid,
+                        opts=opts, mesh=mesh)
     dt, res = timeit(run)
+    # glmnet-style pathwise warm starting: sorted-λ waves, each warm-
+    # started from the previous — same compiled program, W dispatches
+    W = 8 if quick else 16
+    run_w = lambda: sweep(meth, prob, "l1", sm, lam_grid=lam_grid,
+                          opts=opts, mesh=mesh, path_waves=W)
+    dtw, resw = timeit(run_w)
+    conv = lambda r: float((np.asarray(r.epochs) < 60).mean())
     return dict(config=f"lambda_sweep_x{B}", seconds=round(dt, 4),
                 solves_per_s=round(B / dt, 1),
-                ok=bool(np.all(np.isfinite(res.obj))))
+                path_waves_seconds=round(dtw, 4),
+                path_waves_solves_per_s=round(B / dtw, 1),
+                converged_frac=round(conv(res), 3),
+                path_waves_converged_frac=round(conv(resw), 3),
+                ok=bool(np.all(np.isfinite(res.obj))
+                        and np.all(np.isfinite(resw.obj))))
 
 
 def main():

@@ -73,15 +73,23 @@ def _batch_sharding(mesh: Optional[Mesh], batch_axis: str):
 
 
 def _xla_kernels(method):
-    """Force the XLA compute path under vmap (Pallas batching rules don't
-    cover the sequential-grid accumulator kernels)."""
+    """Force the XLA compute path under vmap.
+
+    This IS the fast path for sweeps, not a fallback: with the data
+    matrix shared across instances (``in_axes=None``), vmap batches every
+    per-instance matvec ``A @ v`` into one MXU matmul ``A @ V`` — one A
+    read amortized over the whole batch. The single-instance fused Pallas
+    kernels exist to avoid a second A read within ONE instance; running
+    them per-instance under the batch would re-read A per instance and be
+    strictly worse. (Measured: the batched-matmul sweep saturates the MXU
+    at config-5 scale; see docs/STATUS.md.)"""
     return dataclasses.replace(method, kernels="xla")
 
 
 def sweep(method, prob: Problem, reg_name: str, sm, *,
           lam_grid=None, mu_grid=None, opts: Options = None,
           mesh: Optional[Mesh] = None, batch_axis: str = "batch",
-          rng_seed: int = 0) -> SweepResult:
+          rng_seed: int = 0, path_waves: int = 0) -> SweepResult:
     """Solve a (λ, μ) regularization path as one vmapped SPMD program.
 
     Args:
@@ -91,6 +99,16 @@ def sweep(method, prob: Problem, reg_name: str, sm, *,
       lam_grid: (B,) or (B, k) penalty values; None keeps `prob.lam`.
       mu_grid: (B,) smoothing values; None keeps `sm.mu`.
       mesh / batch_axis: shard the instance axis over this mesh axis.
+      path_waves: 0 (default) solves all B instances in one dispatch, each
+        cold-started from ``prob.x0``. W ≥ 2 enables glmnet-style pathwise
+        warm starting: the grid is sorted by descending λ (falling back to
+        ascending μ when no lam_grid is given), split into W contiguous
+        waves, and wave w's instances start from wave w−1's solutions —
+        adjacent path points converge in a few epochs instead of re-paying
+        the full cold-start cost per instance. All waves reuse ONE
+        compiled program (identical shapes); results are returned in the
+        original grid order. The reference's λ-path example re-solves
+        cold per λ (README.md:190-272) — this is the TPU-native upgrade.
 
     Returns a :class:`SweepResult` with leading axis B.
     """
@@ -106,10 +124,16 @@ def sweep(method, prob: Problem, reg_name: str, sm, *,
                 raise ValueError("lam_grid and mu_grid batch sizes differ")
             B = gB
     dt = prob.x0.dtype
+    had_lam = lam_grid is not None
     lam_grid = (jnp.broadcast_to(prob.lam, (B,) + jnp.shape(prob.lam))
                 if lam_grid is None else jnp.asarray(lam_grid, dt))
     mu_grid = (jnp.broadcast_to(sm.mu, (B,) + jnp.shape(sm.mu))
                if mu_grid is None else jnp.asarray(mu_grid, dt))
+
+    if path_waves >= 2:
+        return _sweep_path(method, prob, reg_name, sm, opts, lam_grid,
+                           mu_grid, had_lam, int(path_waves), mesh,
+                           batch_axis, rng_seed)
 
     sh = _batch_sharding(mesh, batch_axis)
     if sh is not None:
@@ -127,6 +151,71 @@ def sweep(method, prob: Problem, reg_name: str, sm, *,
     fn = jax.jit(jax.vmap(run_one, in_axes=(0, 0, None, None)))
     carry = jax.block_until_ready(fn(lam_grid, mu_grid, prob, sm))
     return _carry_to_result(carry)
+
+
+def _sweep_path(method, prob, reg_name, sm, opts, lam_grid, mu_grid,
+                sort_by_lam, W, mesh, batch_axis, rng_seed):
+    """Pathwise warm-started sweep: W sequential waves of B/W instances.
+
+    Sorted by descending λ (most-regularized first — sparse, easy
+    solutions), contiguous wave w warm-starts instance j from wave w−1's
+    instance j, whose λ sits B/W grid positions earlier on the path. One
+    jitted program serves every wave; the host loop only swaps traced
+    leaves (λ, μ, x0), so there is exactly one compile and W dispatches.
+    """
+    B = lam_grid.shape[0]
+    if B % W != 0:
+        raise ValueError(f"path_waves={W} must divide the grid size {B}")
+    Bw = B // W
+    # With the degenerate default x_star = 0, obj_star = f(0) + g(0) and
+    # the f_tol gap criterion declares ANY iterate at exactly 0
+    # "converged" (raw_frel = 0). Cold starts never sit at 0, but a wave
+    # warm-started from a fully-sparsified neighbor does — so the gap
+    # test would fire spuriously at wave entry. Disable it for the wave
+    # solves unless the user supplied a real x_star (x-stall and primal
+    # residual criteria still stop each wave).
+    if not np.any(np.asarray(jax.device_get(prob.x_star))):
+        opts = dataclasses.replace(opts, f_tol=-1.0)
+    key = np.asarray(lam_grid if sort_by_lam else mu_grid)
+    if key.ndim > 1:  # multi-λ (e.g. gl): order by the leading penalty
+        key = key[..., 0]
+    order = np.argsort(-key if sort_by_lam else key, kind="stable")
+    lam_w = jnp.asarray(np.asarray(lam_grid)[order]).reshape(
+        (W, Bw) + lam_grid.shape[1:])
+    mu_w = jnp.asarray(np.asarray(mu_grid)[order]).reshape(
+        (W, Bw) + mu_grid.shape[1:])
+
+    sh = _batch_sharding(mesh, batch_axis)
+    if sh is not None:
+        ndev = mesh.shape[batch_axis]
+        if Bw % ndev != 0:
+            raise ValueError(
+                f"per-wave batch {Bw} (= {B}/{W} waves) must be divisible "
+                f"by mesh axis '{batch_axis}' size {ndev}; use fewer waves "
+                "or a larger grid")
+    put = (lambda a: jax.device_put(a, sh)) if sh is not None else (lambda a: a)
+
+    def run_one(lam, mu, x0, p, s):
+        p = dc_replace(p, lam=lam, x0=x0)
+        s = dc_replace(s, mu=mu)
+        return _solve_fused_impl(method, p, reg_name, s, opts, (), rng_seed)
+
+    fn = jax.jit(jax.vmap(run_one, in_axes=(0, 0, 0, None, None)))
+
+    x0_wave = put(jnp.broadcast_to(prob.x0, (Bw,) + prob.x0.shape))
+    carries = []
+    for w in range(W):
+        carry = fn(put(lam_w[w]), put(mu_w[w]), x0_wave, prob, sm)
+        carries.append(carry)
+        x0_wave = carry.x
+    jax.block_until_ready(carries[-1])
+
+    stacked = jax.tree.map(lambda *ls: np.concatenate(
+        [np.asarray(l) for l in ls], axis=0), *carries)
+    inv = np.empty(B, dtype=np.int64)
+    inv[order] = np.arange(B)
+    unsort = jax.tree.map(lambda a: a[inv], stacked)
+    return _carry_to_result(unsort)
 
 
 def stack_problems(probs) -> Problem:

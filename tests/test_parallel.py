@@ -133,6 +133,48 @@ class TestSweep:
         # histories recorded at round starts only
         assert np.all(np.asarray(res4.n_rec) <= np.asarray(res1.n_rec))
 
+    def test_path_waves_matches_scalar_solves(self):
+        """Pathwise warm-started sweep must land on the same optima as
+        per-λ cold scalar solves (glmnet-style waves change the start
+        point, not the fixed point)."""
+        prob = make_logreg(m=32, n=8)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        lam_grid = np.logspace(-3, 0, 8)
+        opts = scso.Options(max_epoch=300, verbose=0)
+        res = sweep(scso.ProxNSCORE(), prob, "l1", sm,
+                    lam_grid=lam_grid, opts=opts, path_waves=4)
+        assert res.batch_size == 8
+        from scso_tpu._src.struct import replace as dc_replace
+        for i, lam in enumerate(lam_grid):
+            p = dc_replace(prob, lam=jnp.asarray(lam, jnp.float64))
+            ref = scso.iterate(scso.ProxNSCORE(), p, "l1", sm,
+                               max_epoch=300, verbose=0)
+            np.testing.assert_allclose(res.x[i], ref.x, atol=1e-7)
+            np.testing.assert_allclose(res.obj[i], ref.obj[-1],
+                                       rtol=1e-8, atol=1e-12)
+
+    def test_path_waves_warm_start_helps(self):
+        """Later waves inherit nearby solutions: total epochs over the
+        path must drop vs cold all-at-once."""
+        prob = make_logreg(m=32, n=8)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        lam_grid = np.logspace(-3, 0, 16)
+        opts = scso.Options(max_epoch=300, verbose=0)
+        cold = sweep(scso.ProxNSCORE(), prob, "l1", sm,
+                     lam_grid=lam_grid, opts=opts)
+        warm = sweep(scso.ProxNSCORE(), prob, "l1", sm,
+                     lam_grid=lam_grid, opts=opts, path_waves=8)
+        assert (np.asarray(warm.epochs).sum()
+                < np.asarray(cold.epochs).sum())
+
+    def test_path_waves_indivisible_rejected(self):
+        prob = make_logreg(m=32, n=8)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        with pytest.raises(ValueError, match="divide"):
+            sweep(scso.ProxNSCORE(), prob, "l1", sm,
+                  lam_grid=np.logspace(-3, 0, 6),
+                  opts=scso.Options(max_epoch=50, verbose=0), path_waves=4)
+
     def test_mu_grid(self):
         prob = make_logreg(m=32, n=8)
         sm = scso.PHuberSmootherL1L2(1.0)

@@ -51,6 +51,15 @@ def main():
     nnz = (np.abs(res.x) > 1e-6).sum(axis=1)
     for lam, k, o in zip(lam_grid, nnz, res.obj):
         print(f"  λ={lam:.4f}  nnz={k:4d}  obj={o:.6f}")
+
+    # 3. the same path with glmnet-style warm-started waves: sorted-λ
+    # chunks, each starting from the previous wave's solutions (fewer
+    # epochs per instance; one compiled program for all waves)
+    resw = sweep(method, prob, "l1", sm, lam_grid=lam_grid,
+                 opts=scso.Options(max_epoch=50, verbose=0),
+                 path_waves=4)
+    print("cold epochs:", np.asarray(res.epochs).sum(),
+          " warm-wave epochs:", np.asarray(resw.epochs).sum())
     return res
 
 

@@ -125,9 +125,15 @@ def sweep(method, prob: Problem, reg_name: str, sm, *,
             B = gB
     dt = prob.x0.dtype
     had_lam = lam_grid is not None
-    lam_grid = (jnp.broadcast_to(prob.lam, (B,) + jnp.shape(prob.lam))
+    # anchor both grids to the problem dtype as STRONG types: a Python-
+    # float sm.mu would otherwise broadcast weak-f64 under x64, and any
+    # later numpy round-trip (the path-wave sort) would strip the weak
+    # tag and promote the whole solve to f64
+    lam_grid = (jnp.broadcast_to(jnp.asarray(prob.lam, dt),
+                                 (B,) + jnp.shape(prob.lam))
                 if lam_grid is None else jnp.asarray(lam_grid, dt))
-    mu_grid = (jnp.broadcast_to(sm.mu, (B,) + jnp.shape(sm.mu))
+    mu_grid = (jnp.broadcast_to(jnp.asarray(sm.mu, dt),
+                                (B,) + jnp.shape(sm.mu))
                if mu_grid is None else jnp.asarray(mu_grid, dt))
 
     if path_waves >= 2:
@@ -180,9 +186,9 @@ def _sweep_path(method, prob, reg_name, sm, opts, lam_grid, mu_grid,
     if key.ndim > 1:  # multi-λ (e.g. gl): order by the leading penalty
         key = key[..., 0]
     order = np.argsort(-key if sort_by_lam else key, kind="stable")
-    lam_w = jnp.asarray(np.asarray(lam_grid)[order]).reshape(
+    lam_w = jnp.asarray(np.asarray(lam_grid)[order], lam_grid.dtype).reshape(
         (W, Bw) + lam_grid.shape[1:])
-    mu_w = jnp.asarray(np.asarray(mu_grid)[order]).reshape(
+    mu_w = jnp.asarray(np.asarray(mu_grid)[order], mu_grid.dtype).reshape(
         (W, Bw) + mu_grid.shape[1:])
 
     sh = _batch_sharding(mesh, batch_axis)

@@ -132,6 +132,29 @@ class TestFeaturePadding:
         assert s_q.epochs == s_p.epochs
         np.testing.assert_allclose(s_q.obj, s_p.obj, rtol=1e-8)
 
+    def test_pad_with_sol_and_device_inputs(self):
+        """sol is padded alongside x0; jax.Array inputs take the
+        on-device concatenate branch and match the host-pad branch."""
+        import jax.numpy as jnp
+        from scso_tpu.models import losses, synthetic
+        A, y, x0, xs = synthetic.make_sparse_logreg_data(
+            64, 100, density=0.2, n_active=8, seed=3, dtype=np.float64)
+        kw = dict(grad_fx=losses.logistic_grad, dtype=np.float64,
+                  pad_features=True)
+        p_host = scso.Problem(A, y, x0, losses.logistic_f, 1e-2,
+                              sol=xs, **kw)
+        p_dev = scso.Problem(jnp.asarray(A), jnp.asarray(y),
+                             jnp.asarray(x0), losses.logistic_f, 1e-2,
+                             sol=jnp.asarray(xs), **kw)
+        for p in (p_host, p_dev):
+            assert p.x0.shape == (128,) and p.n_true == 100
+            assert p.x_star.shape == (128,)
+            np.testing.assert_array_equal(np.asarray(p.x_star[100:]), 0.0)
+        np.testing.assert_array_equal(np.asarray(p_host.A),
+                                      np.asarray(p_dev.A))
+        np.testing.assert_array_equal(np.asarray(p_host.x_star),
+                                      np.asarray(p_dev.x_star))
+
     def test_no_pad_when_already_aligned(self):
         plain, padded = self._pair(n=1024 - 24)  # 1000 → pads
         _, aligned = self._pair(n=1024)

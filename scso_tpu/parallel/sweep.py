@@ -101,8 +101,9 @@ def sweep(method, prob: Problem, reg_name: str, sm, *,
       mesh / batch_axis: shard the instance axis over this mesh axis.
       path_waves: 0 (default) solves all B instances in one dispatch, each
         cold-started from ``prob.x0``. W ≥ 2 enables glmnet-style pathwise
-        warm starting: the grid is sorted by descending λ (falling back to
-        ascending μ when no lam_grid is given), split into W contiguous
+        warm starting: the grid is sorted descending (by λ, or by μ when
+        no lam_grid is given — smoothest problems first, homotopy from
+        easy to sharp), split into W contiguous
         waves, and wave w's instances start from wave w−1's solutions —
         adjacent path points converge in a few epochs instead of re-paying
         the full cold-start cost per instance. All waves reuse ONE
@@ -183,9 +184,12 @@ def _sweep_path(method, prob, reg_name, sm, opts, lam_grid, mu_grid,
     if not np.any(np.asarray(jax.device_get(prob.x_star))):
         opts = dataclasses.replace(opts, f_tol=-1.0)
     key = np.asarray(lam_grid if sort_by_lam else mu_grid)
-    if key.ndim > 1:  # multi-λ (e.g. gl): order by the leading penalty
-        key = key[..., 0]
-    order = np.argsort(-key if sort_by_lam else key, kind="stable")
+    if key.ndim > 1:  # multi-λ (e.g. gl [λ1, λ2]): order by total penalty
+        key = key.reshape(key.shape[0], -1).sum(axis=1)
+    # λ paths: descending (most-regularized/sparsest first — glmnet).
+    # μ paths: descending too (smoothest problem first — homotopy from
+    # easy to sharp).
+    order = np.argsort(-key, kind="stable")
     lam_w = jnp.asarray(np.asarray(lam_grid)[order], lam_grid.dtype).reshape(
         (W, Bw) + lam_grid.shape[1:])
     mu_w = jnp.asarray(np.asarray(mu_grid)[order], mu_grid.dtype).reshape(

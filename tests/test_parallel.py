@@ -167,6 +167,48 @@ class TestSweep:
         assert (np.asarray(warm.epochs).sum()
                 < np.asarray(cold.epochs).sum())
 
+    def test_path_waves_group_lasso_two_lambda(self):
+        """Multi-λ (gl) grids sort waves by total penalty; results come
+        back in original grid order and match the cold sweep.
+
+        Uses the smooth objective (use_prox=False, overdetermined m > n)
+        so the minimizer is unique and start-point independent — with the
+        gl prox step, warm vs cold starts may legitimately settle at
+        different prox fixed points (a property of the damped scaled-prox
+        iteration itself, shared with the reference algorithm), which
+        would test the solver rather than the wave ordering/unscatter
+        this test is about."""
+        A, y, x_true, x0, groups = synthetic.make_group_lasso_problem(
+            90, 30, 6, p_active=0.3, noise_std=0.05, seed=5,
+            dtype=np.float64)
+        prob = scso.Problem(
+            A, y, x0, losses.lsq_f, [1e-8, 1.0],
+            grad_fx=losses.lsq_grad, hess_fx=losses.lsq_hess,
+            sol=x_true, groups=groups, dtype=np.float64)
+        sm = scso.PHuberSmootherGL(1e-2, prob)
+        lam2s = np.logspace(-2, 1, 8)
+        lam_grid = np.stack([np.full_like(lam2s, 1e-8), lam2s], axis=1)
+        opts = scso.Options(max_epoch=300, verbose=0)
+        meth = scso.ProxNSCORE(use_prox=False)
+        cold = sweep(meth, prob, "gl", sm, lam_grid=lam_grid, opts=opts)
+        warm = sweep(meth, prob, "gl", sm, lam_grid=lam_grid, opts=opts,
+                     path_waves=4)
+        np.testing.assert_allclose(warm.x, cold.x, atol=1e-5)
+
+    def test_path_waves_mu_homotopy(self):
+        """μ-only waves run smoothest-first; final iterates match the
+        cold sweep per μ (smooth objective — unique minimizer per μ, so
+        the result cannot depend on which wave seeded the start point)."""
+        prob = make_logreg(m=32, n=8)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        mu_grid = np.array([0.25, 0.5, 1.0, 2.0])
+        opts = scso.Options(max_epoch=300, verbose=0)
+        meth = scso.ProxNSCORE(use_prox=False)
+        cold = sweep(meth, prob, "l1", sm, mu_grid=mu_grid, opts=opts)
+        warm = sweep(meth, prob, "l1", sm, mu_grid=mu_grid, opts=opts,
+                     path_waves=2)
+        np.testing.assert_allclose(warm.x, cold.x, atol=1e-5)
+
     def test_path_waves_indivisible_rejected(self):
         prob = make_logreg(m=32, n=8)
         sm = scso.PHuberSmootherL1L2(1.0)

@@ -459,17 +459,24 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
         # batched-predicate cond lowers to select (BOTH branches run) —
         # the nested loop keeps the amortization real for sweeps/fleets.
         # Stopping still checks every epoch; f_tol uses the round's gap.
+        #
+        # The inner step freezes finished instances with an explicit
+        # where-mask rather than lax.cond: under vmap a batched cond runs
+        # both branches and selects anyway (identical semantics/cost),
+        # while cond-inside-fori-inside-while miscompiles on the TPU
+        # backend at large vmap widths (device fault at B >= ~512,
+        # observed on v5e; fine at B <= 256 and with stats_every=1). The
+        # scalar case wastes at most stats_every-1 post-convergence
+        # steps, all discarded by the mask.
         def round_body(carry: Carry) -> Carry:
             hist, raw_frel = with_stats(carry)
             carry = carry._replace(hist=hist, frel=raw_frel)
 
             def inner(_, c):
-                return lax.cond(
-                    (~c.done) & (c.k < max_epoch),
-                    lambda c: step_epoch(c, c.frel),
-                    lambda c: c,
-                    c,
-                )
+                live = (~c.done) & (c.k < max_epoch)
+                c2 = step_epoch(c, c.frel)
+                return jax.tree.map(
+                    lambda new, old: jnp.where(live, new, old), c2, c)
 
             return lax.fori_loop(0, opts.stats_every, inner, carry)
 

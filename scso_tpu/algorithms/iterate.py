@@ -67,6 +67,14 @@ class Options:
     comm_rounds: int = 100
     verbose: int = 1
     mode: str = "fused"  # 'fused' (on-device while_loop) | 'timed' (python loop)
+    # vmap_safe: freeze finished instances in the stats_every>1 inner loop
+    # with a where-mask instead of lax.cond. Set automatically by
+    # sweep()/solve_fleet(); set it yourself if you vmap `iterate` with
+    # stats_every>1 — cond-inside-fori-inside-while miscompiles on the
+    # TPU backend at large vmap widths (device fault at B >= ~512 on
+    # v5e). Scalar solves keep cond: it genuinely skips post-convergence
+    # steps, while the mask would compute and discard them.
+    vmap_safe: bool = False
 
 
 class History(NamedTuple):
@@ -460,23 +468,31 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
         # the nested loop keeps the amortization real for sweeps/fleets.
         # Stopping still checks every epoch; f_tol uses the round's gap.
         #
-        # The inner step freezes finished instances with an explicit
-        # where-mask rather than lax.cond: under vmap a batched cond runs
-        # both branches and selects anyway (identical semantics/cost),
-        # while cond-inside-fori-inside-while miscompiles on the TPU
-        # backend at large vmap widths (device fault at B >= ~512,
-        # observed on v5e; fine at B <= 256 and with stats_every=1). The
-        # scalar case wastes at most stats_every-1 post-convergence
-        # steps, all discarded by the mask.
+        # Two freeze styles for finished instances (see Options.vmap_safe):
+        # scalar solves use lax.cond (truly skips post-convergence steps);
+        # vmapped solves use an explicit where-mask — under vmap a batched
+        # cond runs both branches and selects anyway (identical
+        # semantics/cost), while cond-inside-fori-inside-while miscompiles
+        # on the TPU backend at large vmap widths (device fault at
+        # B >= ~512, observed on v5e; fine at B <= 256 and stats_every=1).
         def round_body(carry: Carry) -> Carry:
             hist, raw_frel = with_stats(carry)
             carry = carry._replace(hist=hist, frel=raw_frel)
 
-            def inner(_, c):
-                live = (~c.done) & (c.k < max_epoch)
-                c2 = step_epoch(c, c.frel)
-                return jax.tree.map(
-                    lambda new, old: jnp.where(live, new, old), c2, c)
+            if opts.vmap_safe:
+                def inner(_, c):
+                    live = (~c.done) & (c.k < max_epoch)
+                    c2 = step_epoch(c, c.frel)
+                    return jax.tree.map(
+                        lambda new, old: jnp.where(live, new, old), c2, c)
+            else:
+                def inner(_, c):
+                    return lax.cond(
+                        (~c.done) & (c.k < max_epoch),
+                        lambda c: step_epoch(c, c.frel),
+                        lambda c: c,
+                        c,
+                    )
 
             return lax.fori_loop(0, opts.stats_every, inner, carry)
 
@@ -731,7 +747,7 @@ def iterate(method, model: Problem, reg_name: str, h_mu, *,
             slice_samples=False, shuffle_batch=True, max_epoch=1000,
             comm_rounds=100, local_max_iter=None, x_tol=1e-10, f_tol=1e-10,
             verbose=1, mode="fused", rng_seed=0,
-            stats_every=1, resume_state=None) -> Solution:
+            stats_every=1, vmap_safe=False, resume_state=None) -> Solution:
     """Run a SCORE solve — the reference's `iterate!` entry point.
 
     Args mirror iterate.jl:56 (α spelled `alpha`); `mode` selects the
@@ -752,7 +768,7 @@ def iterate(method, model: Problem, reg_name: str, h_mu, *,
         batch_size=batch_size,
         slice_samples=slice_samples, shuffle_batch=shuffle_batch,
         local_max_iter=local_max_iter, comm_rounds=comm_rounds,
-        verbose=verbose, mode=mode,
+        verbose=verbose, mode=mode, vmap_safe=vmap_safe,
     )
     if metrics:
         names = tuple(sorted(metrics.keys()))

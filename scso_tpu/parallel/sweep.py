@@ -72,6 +72,14 @@ def _batch_sharding(mesh: Optional[Mesh], batch_axis: str):
     return NamedSharding(mesh, P(batch_axis))
 
 
+def _vmap_opts(opts: Options) -> Options:
+    """Mark the solve as vmapped: the stats_every>1 inner loop must
+    freeze finished instances with a where-mask, not lax.cond — the
+    nested cond device-faults on TPU at large vmap widths (see
+    Options.vmap_safe)."""
+    return dataclasses.replace(opts, vmap_safe=True)
+
+
 def _xla_kernels(method):
     """Force the XLA compute path under vmap.
 
@@ -113,7 +121,7 @@ def sweep(method, prob: Problem, reg_name: str, sm, *,
 
     Returns a :class:`SweepResult` with leading axis B.
     """
-    opts = opts or Options()
+    opts = _vmap_opts(opts or Options())
     method = _xla_kernels(method)
     if lam_grid is None and mu_grid is None:
         raise ValueError("provide lam_grid and/or mu_grid")
@@ -246,7 +254,7 @@ def solve_fleet(method, probs: Problem, reg_name: str, sms, *,
     or by constructing leaves with a leading instance axis). The batch
     axis is sharded over `mesh[batch_axis]` when given.
     """
-    opts = opts or Options()
+    opts = _vmap_opts(opts or Options())
     method = _xla_kernels(method)
     if mesh is not None:
         sh = _batch_sharding(mesh, batch_axis)

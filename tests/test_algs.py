@@ -295,6 +295,22 @@ class TestStatsEvery:
         assert len(s4.obj) < len(s1.obj)
         np.testing.assert_allclose(s4.obj[-1], s1.obj[-1], atol=1e-12)
 
+    def test_vmap_safe_inner_matches_cond_inner(self):
+        """The where-masked inner loop (vmap_safe=True, used by sweeps)
+        must be step-for-step identical to the lax.cond inner."""
+        model = make_log_problem()
+        cond = scso.iterate(scso.ProxNSCORE(), model, "l1",
+                            scso.PHuberSmootherL1L2(MU), verbose=0,
+                            stats_every=4)
+        masked = scso.iterate(scso.ProxNSCORE(), model, "l1",
+                              scso.PHuberSmootherL1L2(MU), verbose=0,
+                              stats_every=4, vmap_safe=True)
+        # same steps; XLA may fuse the two programs differently → allow
+        # roundoff-level drift, nothing more
+        np.testing.assert_allclose(np.asarray(masked.x),
+                                   np.asarray(cond.x), atol=1e-12)
+        assert masked.epochs == cond.epochs
+
 
 class TestBatchingSemantics:
     def test_slice_samples_forces_bs1(self):

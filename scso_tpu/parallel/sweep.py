@@ -97,7 +97,8 @@ def _xla_kernels(method):
 def sweep(method, prob: Problem, reg_name: str, sm, *,
           lam_grid=None, mu_grid=None, opts: Options = None,
           mesh: Optional[Mesh] = None, batch_axis: str = "batch",
-          rng_seed: int = 0, path_waves: int = 0) -> SweepResult:
+          rng_seed: int = 0, path_waves: int = 0,
+          wave_max_epoch: Optional[int] = None) -> SweepResult:
     """Solve a (λ, μ) regularization path as one vmapped SPMD program.
 
     Args:
@@ -118,6 +119,14 @@ def sweep(method, prob: Problem, reg_name: str, sm, *,
         compiled program (identical shapes); results are returned in the
         original grid order. The reference's λ-path example re-solves
         cold per λ (README.md:190-272) — this is the TPU-native upgrade.
+      wave_max_epoch: epoch cap for warm waves (wave 1 onward; wave 0 is
+        cold and keeps ``opts.max_epoch``). Warm-started instances
+        typically converge in a few epochs, but one straggler per wave
+        forces the whole dispatch to the full cap — a small warm cap
+        (e.g. a third of ``opts.max_epoch``) bounds that tail and cuts
+        path wall time at the cost of leaving the hardest instances at
+        the cap. Costs one extra compiled program (two instead of one).
+        Only meaningful with ``path_waves >= 2``.
 
     Returns a :class:`SweepResult` with leading axis B.
     """
@@ -148,7 +157,9 @@ def sweep(method, prob: Problem, reg_name: str, sm, *,
     if path_waves >= 2:
         return _sweep_path(method, prob, reg_name, sm, opts, lam_grid,
                            mu_grid, had_lam, int(path_waves), mesh,
-                           batch_axis, rng_seed)
+                           batch_axis, rng_seed, wave_max_epoch)
+    if wave_max_epoch is not None:
+        raise ValueError("wave_max_epoch requires path_waves >= 2")
 
     sh = _batch_sharding(mesh, batch_axis)
     if sh is not None:
@@ -169,7 +180,8 @@ def sweep(method, prob: Problem, reg_name: str, sm, *,
 
 
 def _sweep_path(method, prob, reg_name, sm, opts, lam_grid, mu_grid,
-                sort_by_lam, W, mesh, batch_axis, rng_seed):
+                sort_by_lam, W, mesh, batch_axis, rng_seed,
+                wave_max_epoch=None):
     """Pathwise warm-started sweep: W sequential waves of B/W instances.
 
     Sorted by descending λ (most-regularized first — sparse, easy
@@ -213,21 +225,50 @@ def _sweep_path(method, prob, reg_name, sm, opts, lam_grid, mu_grid,
                 "or a larger grid")
     put = (lambda a: jax.device_put(a, sh)) if sh is not None else (lambda a: a)
 
-    def run_one(lam, mu, x0, p, s):
-        p = dc_replace(p, lam=lam, x0=x0)
-        s = dc_replace(s, mu=mu)
-        return _solve_fused_impl(method, p, reg_name, s, opts, (), rng_seed)
+    def make_fn(o):
+        def run_one(lam, mu, x0, p, s):
+            p = dc_replace(p, lam=lam, x0=x0)
+            s = dc_replace(s, mu=mu)
+            return _solve_fused_impl(method, p, reg_name, s, o, (), rng_seed)
+        return jax.jit(jax.vmap(run_one, in_axes=(0, 0, 0, None, None)))
 
-    fn = jax.jit(jax.vmap(run_one, in_axes=(0, 0, 0, None, None)))
+    fn = make_fn(opts)
+    if wave_max_epoch is not None and int(wave_max_epoch) != opts.max_epoch:
+        # warm waves run under a tighter epoch cap — a second compiled
+        # program; their shorter history buffers are padded back to the
+        # cold cap on the host before the final concatenate
+        fn_warm = make_fn(
+            dataclasses.replace(opts, max_epoch=int(wave_max_epoch)))
+    else:
+        fn_warm = fn
 
     x0_wave = put(jnp.broadcast_to(prob.x0, (Bw,) + prob.x0.shape))
     carries = []
     for w in range(W):
-        carry = fn(put(lam_w[w]), put(mu_w[w]), x0_wave, prob, sm)
+        carry = (fn if w == 0 else fn_warm)(
+            put(lam_w[w]), put(mu_w[w]), x0_wave, prob, sm)
         carries.append(carry)
         x0_wave = carry.x
     jax.block_until_ready(carries[-1])
 
+    cap = max(c.hist.obj.shape[-1] for c in carries)
+
+    def _pad_hist(c):
+        if c.hist.obj.shape[-1] == cap:
+            return c
+        def pf(a, fill):
+            a = np.asarray(a)
+            pad = cap - a.shape[-1]
+            return np.concatenate(
+                [a, np.full(a.shape[:-1] + (pad,), fill, a.dtype)],
+                axis=-1)
+        h = c.hist
+        return c._replace(hist=h._replace(
+            fval=pf(h.fval, 0), obj=pf(h.obj, 0), rel=pf(h.rel, 0),
+            objrel=pf(h.objrel, 0), prires=pf(h.prires, np.nan),
+            fvaltest=pf(h.fvaltest, 0), metrics=pf(h.metrics, 0)))
+
+    carries = [_pad_hist(c) for c in carries]
     stacked = jax.tree.map(lambda *ls: np.concatenate(
         [np.asarray(l) for l in ls], axis=0), *carries)
     inv = np.empty(B, dtype=np.int64)

@@ -209,6 +209,33 @@ class TestSweep:
                      path_waves=2)
         np.testing.assert_allclose(warm.x, cold.x, atol=1e-5)
 
+    def test_wave_max_epoch_caps_warm_waves(self):
+        """A tighter warm-wave cap keeps results at the easy path points
+        and bounds the straggler tail; histories pad to the cold cap."""
+        prob = make_logreg(m=32, n=8)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        mu_grid = np.array([0.25, 0.5, 1.0, 2.0])
+        opts = scso.Options(max_epoch=300, verbose=0)
+        meth = scso.ProxNSCORE(use_prox=False)
+        full = sweep(meth, prob, "l1", sm, mu_grid=mu_grid, opts=opts,
+                     path_waves=2)
+        capped = sweep(meth, prob, "l1", sm, mu_grid=mu_grid, opts=opts,
+                       path_waves=2, wave_max_epoch=100)
+        # histories concatenate cleanly across the two program variants
+        assert capped.obj_hist.shape == full.obj_hist.shape
+        # warm waves are capped; wave 0 (cold) keeps the full budget
+        assert np.asarray(capped.epochs).max() <= 300
+        # Newton on the smooth objective converges well inside 100
+        # epochs warm-started, so the capped path matches the full one
+        np.testing.assert_allclose(capped.x, full.x, atol=1e-5)
+
+    def test_wave_max_epoch_requires_path_waves(self):
+        prob = make_logreg(m=32, n=8)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        with pytest.raises(ValueError, match="path_waves"):
+            sweep(scso.ProxLQNSCORE(), prob, "l1", sm,
+                  lam_grid=np.logspace(-3, -1, 4), wave_max_epoch=50)
+
     def test_path_waves_indivisible_rejected(self):
         prob = make_logreg(m=32, n=8)
         sm = scso.PHuberSmootherL1L2(1.0)

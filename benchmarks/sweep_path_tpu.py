@@ -38,6 +38,7 @@ from scso_tpu.parallel import sweep
 def main():
     B = int(os.environ.get("SWEEP_B", 4096))
     W = int(os.environ.get("SWEEP_W", 16))
+    CAP = int(os.environ.get("SWEEP_WAVE_CAP", 0))  # 0 = uncapped
     A, y, x0, _ = synthetic.make_sparse_logreg_data(
         2048, 128, density=0.1, n_active=16, seed=7, dtype=np.float32,
         label01=True)
@@ -53,7 +54,8 @@ def main():
     run_cold = lambda: sweep(meth, prob, "l1", sm, lam_grid=lam_grid,
                              opts=opts)
     run_warm = lambda: sweep(meth, prob, "l1", sm, lam_grid=lam_grid,
-                             opts=opts, path_waves=W)
+                             opts=opts, path_waves=W,
+                             wave_max_epoch=(CAP or None))
 
     run_cold()  # compile
     t0 = time.perf_counter()
@@ -76,14 +78,16 @@ def main():
     ow = np.asarray(true_obj(jnp.asarray(warm.x), jnp.asarray(lam_grid)))
     print(json.dumps({
         "metric": "lambda_sweep_cold_vs_path_waves",
-        "B": B, "waves": W,
+        "B": B, "waves": W, "wave_max_epoch": CAP or None,
         "device": jax.devices()[0].device_kind,
         "cold_s": round(t_cold, 3),
         "cold_solves_per_s": round(B / t_cold, 1),
         "warm_s": round(t_warm, 3),
         "warm_solves_per_s": round(B / t_warm, 1),
         "cold_converged_frac": round(float((np.asarray(cold.epochs) < 60).mean()), 3),
-        "warm_converged_frac": round(float((np.asarray(warm.epochs) < 60).mean()), 3),
+        # vs the cap each warm wave actually ran under (wave 0 is cold)
+        "warm_converged_frac": round(float(
+            (np.asarray(warm.epochs) < min(60, CAP or 60)).mean()), 3),
         "cold_mean_epochs": round(float(np.asarray(cold.epochs).mean()), 1),
         "warm_mean_epochs": round(float(np.asarray(warm.epochs).mean()), 1),
         "mean_obj_delta_warm_minus_cold": float((ow - oc).mean()),

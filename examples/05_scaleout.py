@@ -54,10 +54,13 @@ def main():
 
     # 3. the same path with glmnet-style warm-started waves: sorted-λ
     # chunks, each starting from the previous wave's solutions (fewer
-    # epochs per instance; one compiled program for all waves)
+    # epochs per instance; one compiled program for all waves).
+    # wave_max_epoch bounds the straggler tail of warm waves — warm-
+    # started instances converge in a few epochs, so a tight cap cuts
+    # the per-wave dispatch cost without losing the easy path points.
     resw = sweep(method, prob, "l1", sm, lam_grid=lam_grid,
                  opts=scso.Options(max_epoch=50, verbose=0),
-                 path_waves=4)
+                 path_waves=4, wave_max_epoch=20)
     print("cold epochs:", np.asarray(res.epochs).sum(),
           " warm-wave epochs:", np.asarray(resw.epochs).sum())
     return res

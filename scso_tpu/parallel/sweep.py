@@ -95,7 +95,7 @@ def _xla_kernels(method):
 
 
 def sweep(method, prob: Problem, reg_name: str, sm, *,
-          lam_grid=None, mu_grid=None, opts: Options = None,
+          lam_grid=None, mu_grid=None, x0_grid=None, opts: Options = None,
           mesh: Optional[Mesh] = None, batch_axis: str = "batch",
           rng_seed: int = 0, path_waves: int = 0,
           wave_max_epoch: Optional[int] = None) -> SweepResult:
@@ -107,6 +107,12 @@ def sweep(method, prob: Problem, reg_name: str, sm, *,
         template instance.
       lam_grid: (B,) or (B, k) penalty values; None keeps `prob.lam`.
       mu_grid: (B,) smoothing values; None keeps `sm.mu`.
+      x0_grid: (B, n) per-instance initial iterates; None cold-starts
+        every instance from ``prob.x0``. Composes the pathwise pattern
+        by hand: e.g. polish a ``path_waves`` result with one wide
+        dispatch via ``sweep(..., x0_grid=warm.x)``, or warm-start a
+        fleet from a prior grid's solutions. Not combinable with
+        ``path_waves`` (the waves manage their own starts).
       mesh / batch_axis: shard the instance axis over this mesh axis.
       path_waves: 0 (default) solves all B instances in one dispatch, each
         cold-started from ``prob.x0``. W ≥ 2 enables glmnet-style pathwise
@@ -155,6 +161,9 @@ def sweep(method, prob: Problem, reg_name: str, sm, *,
                if mu_grid is None else jnp.asarray(mu_grid, dt))
 
     if path_waves >= 2:
+        if x0_grid is not None:
+            raise ValueError("x0_grid cannot be combined with path_waves "
+                             "(waves manage their own warm starts)")
         return _sweep_path(method, prob, reg_name, sm, opts, lam_grid,
                            mu_grid, had_lam, int(path_waves), mesh,
                            batch_axis, rng_seed, wave_max_epoch)
@@ -162,20 +171,29 @@ def sweep(method, prob: Problem, reg_name: str, sm, *,
         raise ValueError("wave_max_epoch requires path_waves >= 2")
 
     sh = _batch_sharding(mesh, batch_axis)
+    if x0_grid is not None:
+        x0_grid = jnp.asarray(x0_grid, dt)
+        if x0_grid.shape != (B,) + prob.x0.shape:
+            raise ValueError(
+                f"x0_grid shape {x0_grid.shape} != {(B,) + prob.x0.shape}")
     if sh is not None:
         lam_grid = jax.device_put(lam_grid, sh)
         mu_grid = jax.device_put(mu_grid, sh)
+        if x0_grid is not None:
+            x0_grid = jax.device_put(x0_grid, sh)
 
     # prob/sm enter through jit as ARGUMENTS (vmap in_axes=None), never as
     # captured constants — a closed-over data matrix would be baked into
     # the HLO and shipped to the compiler byte-for-byte
-    def run_one(lam, mu, p, s):
-        p = dc_replace(p, lam=lam)
+    def run_one(lam, mu, x0, p, s):
+        p = dc_replace(p, lam=lam) if x0 is None else dc_replace(
+            p, lam=lam, x0=x0)
         s = dc_replace(s, mu=mu)
         return _solve_fused_impl(method, p, reg_name, s, opts, (), rng_seed)
 
-    fn = jax.jit(jax.vmap(run_one, in_axes=(0, 0, None, None)))
-    carry = jax.block_until_ready(fn(lam_grid, mu_grid, prob, sm))
+    x0_ax = None if x0_grid is None else 0
+    fn = jax.jit(jax.vmap(run_one, in_axes=(0, 0, x0_ax, None, None)))
+    carry = jax.block_until_ready(fn(lam_grid, mu_grid, x0_grid, prob, sm))
     return _carry_to_result(carry)
 
 

@@ -229,6 +229,38 @@ class TestSweep:
         # epochs warm-started, so the capped path matches the full one
         np.testing.assert_allclose(capped.x, full.x, atol=1e-5)
 
+    def test_x0_grid_polish_after_waves(self):
+        """x0_grid composes the wave pattern by hand: one wide dispatch
+        from the wave solutions reaches the same fixed points as the
+        cold sweep (smooth objective — unique minimizer per instance),
+        in few epochs."""
+        prob = make_logreg(m=32, n=8)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        lam_grid = np.logspace(-3, -1, 8)
+        opts = scso.Options(max_epoch=300, verbose=0)
+        meth = scso.ProxNSCORE(use_prox=False)
+        cold = sweep(meth, prob, "l1", sm, lam_grid=lam_grid, opts=opts)
+        warm = sweep(meth, prob, "l1", sm, lam_grid=lam_grid, opts=opts,
+                     path_waves=2, wave_max_epoch=30)
+        polish = sweep(meth, prob, "l1", sm, lam_grid=lam_grid, opts=opts,
+                       x0_grid=warm.x)
+        np.testing.assert_allclose(polish.x, cold.x, atol=1e-5)
+        # starting at/near the solution, the polish stops quickly
+        assert (np.asarray(polish.epochs).sum()
+                < np.asarray(cold.epochs).sum())
+
+    def test_x0_grid_shape_validated(self):
+        prob = make_logreg(m=32, n=8)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        with pytest.raises(ValueError, match="x0_grid shape"):
+            sweep(scso.ProxLQNSCORE(), prob, "l1", sm,
+                  lam_grid=np.logspace(-3, -1, 4),
+                  x0_grid=np.zeros((4, 9)))
+        with pytest.raises(ValueError, match="path_waves"):
+            sweep(scso.ProxLQNSCORE(), prob, "l1", sm,
+                  lam_grid=np.logspace(-3, -1, 4),
+                  x0_grid=np.zeros((4, 8)), path_waves=2)
+
     def test_wave_max_epoch_requires_path_waves(self):
         prob = make_logreg(m=32, n=8)
         sm = scso.PHuberSmootherL1L2(1.0)

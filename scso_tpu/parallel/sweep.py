@@ -176,6 +176,12 @@ def sweep(method, prob: Problem, reg_name: str, sm, *,
         if x0_grid.shape != (B,) + prob.x0.shape:
             raise ValueError(
                 f"x0_grid shape {x0_grid.shape} != {(B,) + prob.x0.shape}")
+        # same guard as the wave path: with the degenerate default
+        # x_star = 0 the f_tol gap test fires for any instance warm-
+        # started at exactly 0 (e.g. a fully-sparsified wave solution),
+        # freezing it at epoch 0 whether or not 0 is optimal at its λ
+        if not np.any(np.asarray(jax.device_get(prob.x_star))):
+            opts = dataclasses.replace(opts, f_tol=-1.0)
     if sh is not None:
         lam_grid = jax.device_put(lam_grid, sh)
         mu_grid = jax.device_put(mu_grid, sh)

@@ -425,3 +425,99 @@ class TestFusedGLMPrep:
         assert calls, "fused_glm_prep was never invoked on the pallas path"
 
 
+
+
+class TestSeededFuzzShapes:
+    """Trimmed seeded subset of benchmarks/fuzz_kernels.py: random odd
+    shapes the hand-picked parametrizations above don't cover (non-128-
+    multiple n for the update kernel, ragged m row-padding for the data
+    kernels, partially-filled L-BFGS memory). The full 155-shape fuzz runs
+    offline; these pin the classes of shape it exercised."""
+
+    @pytest.mark.parametrize("m,n", [(947, 384), (2249, 1920), (131, 128)])
+    def test_matvec_ragged_m(self, m, n):
+        rng = np.random.default_rng(m * 7 + n)
+        A = rng.standard_normal((m, n)).astype(np.float32)
+        w = rng.random(m).astype(np.float32)
+        v = rng.standard_normal(n).astype(np.float32)
+        got = fused_normal_matvec(jnp.asarray(A), jnp.asarray(w),
+                                  jnp.asarray(v))
+        want = A.T @ (w * (A @ v))
+        scale = max(1.0, float(np.abs(want).max()))
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=2e-5, atol=3e-5 * scale)
+
+    @pytest.mark.parametrize("n,reg", [(7, "l1"), (129, "l2"),
+                                       (9001, "indbox"), (23456, "l1")])
+    def test_score_update_odd_n(self, n, reg):
+        rng = np.random.default_rng(n)
+        x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        d = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        lgr_np = rng.standard_normal(n).astype(np.float32)
+        lgr_np[rng.random(n) < 0.1] = 0.0  # the η 0/0 fix path
+        lgr = jnp.asarray(lgr_np)
+        hr = jnp.asarray((rng.random(n) + 1e-3).astype(np.float32))
+        lam, ss, Mg = 0.07, 0.6, 3.0
+        lb = jnp.full((n,), -0.5, jnp.float32)
+        ub = jnp.full((n,), 0.7, jnp.float32)
+
+        hinv = 1.0 / hr
+        terms = jnp.where(lgr == 0, 0.0, lgr * hinv * lgr)
+        eta = jnp.sqrt(jnp.sum(terms))
+        safe = jnp.minimum(1.0, ss / (1.0 + Mg * eta))
+        ref = prox_step(reg, x + safe * d, hinv, lam, ss, lb=lb, ub=ub)
+
+        got, pri, _ = fused_score_update(x, d, lgr, hr, lam, ss, Mg, reg,
+                                         lb=lb, ub=ub)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+        assert float(pri) == pytest.approx(
+            float(jnp.linalg.norm(ref - x)), rel=1e-4)
+
+    @pytest.mark.parametrize("n,mm,k", [(777, 9, 18), (2784, 10, 20),
+                                        (361, 9, 9)])
+    def test_two_loop_partial_memory(self, n, mm, k):
+        from scso_tpu.ops.lbfgs_core import (init_memory, two_loop,
+                                             update_memory)
+        from scso_tpu.ops.pallas.two_loop import fused_two_loop
+
+        rng = np.random.default_rng(n + k)
+        mem = init_memory(n, mm, np.float32)
+        # SPD-quadratic curvature pairs keep rho well-conditioned so the
+        # two orderings agree to f32 precision
+        bdiag = (rng.random(n) * 4 + 0.5).astype(np.float32)
+        for _ in range(k):
+            dlt = (rng.standard_normal(n) * 0.1).astype(np.float32)
+            mem = update_memory(mem, jnp.asarray(dlt),
+                                jnp.asarray(bdiag * dlt))
+        g = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        got = fused_two_loop(mem, g)
+        want = two_loop(mem, g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("m,n", [(660, 256), (3465, 2432)])
+    def test_glm_prep_ragged_m(self, m, n):
+        from scso_tpu.ops.pallas.glm_prep import fused_glm_prep
+
+        rng = np.random.default_rng(m)
+        A = rng.standard_normal((m, n)).astype(np.float32)
+        y = (rng.random(m) > 0.5).astype(np.float32)
+        x = (rng.standard_normal(n) * 0.1).astype(np.float32)
+        rw_fn = lambda yb, zb: jax.nn.sigmoid(zb) - yb
+        w_fn = lambda yb, zb: jax.nn.sigmoid(zb) * (1 - jax.nn.sigmoid(zb))
+        got_w, got_b, got_h = fused_glm_prep(
+            jnp.asarray(A), jnp.asarray(y), jnp.asarray(x), rw_fn, w_fn)
+        z = A @ x
+        sig = 1 / (1 + np.exp(-z.astype(np.float64)))
+        want_w = sig * (1 - sig)
+        want_b = A.T.astype(np.float64) @ (sig - y)
+        want_h = np.einsum("i,ij,ij->j", want_w, A.astype(np.float64),
+                           A.astype(np.float64))
+        acc = np.sqrt(m) * np.finfo(np.float32).eps * 10
+        np.testing.assert_allclose(np.asarray(got_w), want_w,
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_b), want_b,
+                                   rtol=2e-5, atol=acc)
+        np.testing.assert_allclose(np.asarray(got_h), want_h,
+                                   rtol=2e-5, atol=acc)

@@ -260,3 +260,81 @@ LSQ_GLM = GLMSpec(
     ggn_rw=lambda y, z: (z - y) / z.shape[0],
     ggn_w=lambda y, z: jnp.full_like(z, 1.0 / z.shape[0]),
 )
+
+
+# ---------------------------------------------------------------------------
+# Poisson regression (canonical log link):
+#   f(A, y, x) = (1/m)·Σ [exp(Ax) − y⊙(Ax)]   (NLL minus the log y! const)
+#
+# A second GLM family beyond logistic/least-squares: counts y ≥ 0,
+# ŷ = exp(z) with z = A·x. The reference has no built-in losses at all
+# (users pass f; problems.jl:61-81) — these follow the same pattern as
+# the logistic family so Poisson problems get the single-z GGN-CG fast
+# path and the fused kernels. NOTE exp overflows f32 at z ≈ 88; keep x0
+# and data scaled so the linear predictor stays moderate (standard for
+# Poisson NLL — the objective itself is exponential in z).
+# ---------------------------------------------------------------------------
+
+
+def poisson_f(A, y, x):
+    z = A @ x
+    return jnp.mean(jnp.exp(z) - y * z)
+
+
+def poisson_grad(A, y, x):
+    return A.T @ (jnp.exp(A @ x) - y) / A.shape[0]
+
+
+def poisson_hess(A, y, x):
+    w = jnp.exp(A @ x)
+    return (A.T * w) @ A / A.shape[0]
+
+
+def poisson_hvp_w(A, y, x):
+    """GLM Hessian weights: ∇²f·v = Aᵀ(w∘(Av)), w = exp(Ax)/m."""
+    return jnp.exp(A @ x) / A.shape[0]
+
+
+def exp_out(A, x):
+    """Model output ŷ = exp(A x) — the canonical Poisson mean."""
+    return jnp.exp(A @ x)
+
+
+def poisson_loss(y, yhat):
+    """(1/m)·Σ [ŷ − y log ŷ] — Poisson NLL in ŷ."""
+    return jnp.mean(yhat - y * jnp.log(yhat))
+
+
+def poisson_ggn_residual(A, y, yhat):
+    """∇_ŷ of poisson_loss: (1 − y/ŷ)/m."""
+    return (1.0 - y / yhat) / yhat.shape[0]
+
+
+def poisson_ggn_qdiag(A, y, yhat):
+    """diag ∇²_ŷ of poisson_loss: (y/ŷ²)/m."""
+    return y / yhat**2 / yhat.shape[0]
+
+
+def exp_jac(A, y, yhat, x):
+    """J = ∂ŷ/∂x = diag(exp(Ax))·A = diag(ŷ)·A."""
+    return A * yhat[:, None]
+
+
+def poisson_ggn_w(A, y, x):
+    """GGN weights: w = ŷ²·qdiag = y/m — exactly the counts, no link
+    evaluation at all (the product form cancels both exponentials)."""
+    return jnp.broadcast_to(y / A.shape[0], (A.shape[0],))
+
+
+POISSON_GLM = GLMSpec(
+    link=jnp.exp,
+    dlink=jnp.exp,
+    res=lambda y, yhat: (1.0 - y / yhat) / yhat.shape[0],
+    qdiag=lambda y, yhat: y / yhat**2 / yhat.shape[0],
+    hvp_w=lambda y, z: jnp.exp(z) / z.shape[0],
+    gres=lambda y, z: (jnp.exp(z) - y) / z.shape[0],
+    # product forms: ŷ·res = (ŷ−y)/m (no division) and ŷ²·qdiag = y/m
+    # (both exponentials cancel — exact for any z where ŷ is finite)
+    ggn_rw=lambda y, z: (jnp.exp(z) - y) / z.shape[0],
+    ggn_w=lambda y, z: jnp.broadcast_to(y / z.shape[0], z.shape),
+)

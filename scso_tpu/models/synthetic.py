@@ -106,3 +106,32 @@ def make_box_qp(n: int, seed: int = 1234, dtype=np.float32):
     c = np.ones((n,), dtype=dtype)
     x0 = rng.standard_normal(n).astype(dtype)
     return Q.astype(dtype), c, x0
+
+
+def make_sparse_poisson_data(m: int, n: int, density: float = 0.05,
+                             n_active: int = None, seed: int = 1234,
+                             dtype=np.float32, scale: float = 0.5):
+    """Random sparse-design Poisson regression data (counts, log link).
+
+    Same sprandn design as :func:`make_sparse_logreg_data`; the active
+    coefficients are scaled by ``scale/sqrt(n_active·density·m/m)`` — i.e.
+    kept small so the linear predictor z = A·x_true stays moderate
+    (exp(z) must not overflow; see losses.poisson_f). Counts are drawn
+    y_i ~ Poisson(exp(z_i)).
+
+    Returns (A, y, x0, x_true).
+    """
+    rng = np.random.default_rng(seed)
+    A = np.zeros((m, n), dtype=dtype)
+    nnz = max(1, int(density * m * n))
+    rows = rng.integers(0, m, size=nnz)
+    cols = rng.integers(0, n, size=nnz)
+    A[rows, cols] = rng.standard_normal(nnz).astype(dtype)
+    x_true = np.zeros((n,), dtype=dtype)
+    if n_active:
+        idx = rng.choice(n, size=n_active, replace=False)
+        x_true[idx] = (scale * rng.standard_normal(n_active)).astype(dtype)
+    z = np.clip(A @ x_true, -8.0, 8.0).astype(np.float64)
+    y = rng.poisson(np.exp(z)).astype(dtype)
+    x0 = (0.01 * rng.standard_normal(n)).astype(dtype)
+    return A, y, x0, x_true

@@ -88,6 +88,27 @@ class History(NamedTuple):
     n_rec: jax.Array
 
 
+def pad_history(h: History, cap: int, xp=jnp) -> History:
+    """Refit every History buffer to length `cap` along the last axis —
+    pad with the field's fill (NaN for prires, 0 elsewhere) or truncate.
+    ``n_rec`` is left unchanged. Shared by checkpoint-resume (xp=jnp,
+    traced) and sweep wave stacking (xp=np, host) so the per-field fills
+    live in exactly one place."""
+
+    def fit(a, fill=0.0):
+        pad = cap - a.shape[-1]
+        if pad > 0:
+            return xp.concatenate(
+                [a, xp.full(a.shape[:-1] + (pad,), fill, a.dtype)],
+                axis=-1)
+        return a[..., :cap] if pad < 0 else a
+
+    return h._replace(
+        fval=fit(h.fval), obj=fit(h.obj), rel=fit(h.rel),
+        objrel=fit(h.objrel), prires=fit(h.prires, xp.nan),
+        fvaltest=fit(h.fvaltest), metrics=fit(h.metrics))
+
+
 class Carry(NamedTuple):
     x: jax.Array
     x_prev: jax.Array
@@ -95,7 +116,9 @@ class Carry(NamedTuple):
     gq_prev: jax.Array
     d_prev: jax.Array   # previous raw direction — CG warm start seed
     cg_total: jax.Array  # cumulative CG iterations across all steps
-    bnorm_prev: jax.Array  # last CG ‖rhs‖ — Eisenstat-Walker forcing
+    bnorm_prev: jax.Array  # EW forcing s_ref: FIRST outer step length
+    #                        (NaN until set) — see steps._forcing_tol;
+    #                        NOT a CG rhs norm (that variant stalls here)
     frel: jax.Array     # last recorded relative objective gap (stopping)
     k: jax.Array
     pri_res: jax.Array
@@ -332,21 +355,8 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
         # same values, so rewind n_rec by one — histories then bit-match
         # an uninterrupted run. Buffers are refit to the new cap.
         rh = resume.hist
-
-        def fit(a, fill=0.0):
-            pad = cap - a.shape[-1]
-            if pad > 0:
-                return jnp.concatenate(
-                    [a, jnp.full(a.shape[:-1] + (pad,), fill, a.dtype)],
-                    axis=-1)
-            return a[..., :cap] if pad < 0 else a
-
-        hist_r = History(
-            fval=fit(rh.fval), obj=fit(rh.obj), rel=fit(rh.rel),
-            objrel=fit(rh.objrel), prires=fit(rh.prires, jnp.nan),
-            fvaltest=fit(rh.fvaltest), metrics=fit(rh.metrics),
-            n_rec=jnp.maximum(jnp.asarray(rh.n_rec, jnp.int32) - 1, 0),
-        )
+        hist_r = pad_history(rh, cap)._replace(
+            n_rec=jnp.maximum(jnp.asarray(rh.n_rec, jnp.int32) - 1, 0))
         carry0 = Carry(*jax.tree.map(jnp.asarray, tuple(resume[:-2])),
                        hist=hist_r, key=jnp.asarray(resume.key))
     else:
@@ -453,6 +463,24 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
     def cond(carry: Carry):
         return (~carry.done) & (carry.k < max_epoch)
 
+    if resume is not None and opts.stats_every > 1:
+        # Realign to the round grid. An uninterrupted run records stats
+        # at k = 0, K, 2K, ...; a resume from mid-round (k % K != 0)
+        # must first finish that round's remaining plain steps — using
+        # the SAVED round-start frel already in the carry, exactly as
+        # the uninterrupted round would — so subsequent records land on
+        # the same epochs and histories bit-match the uninterrupted
+        # run. At most K-1 masked steps; a no-op when k is on the grid.
+        K = opts.stats_every
+
+        def realign(_, c):
+            live = (~c.done) & (c.k < max_epoch) & (c.k % K != 0)
+            c2 = step_epoch(c, c.frel)
+            return jax.tree.map(
+                lambda new, old: jnp.where(live, new, old), c2, c)
+
+        carry0 = lax.fori_loop(0, K - 1, realign, carry0)
+
     if opts.stats_every <= 1:
         def epoch_body(carry: Carry) -> Carry:
             hist, raw_frel = with_stats(carry)
@@ -515,15 +543,19 @@ _solve_fused = jax.jit(
 
 def _to_solution(carry: Carry, prob: Problem, metric_names, total_time,
                  times=None) -> Solution:
-    # ONE batched device→host transfer: separate np.asarray calls each
-    # pay a full round-trip (expensive over a tunneled TPU)
-    host = jax.device_get(
-        (carry.hist.n_rec, carry.x, carry.hist.obj, carry.hist.fval,
-         carry.hist.prires, carry.hist.fvaltest, carry.hist.rel,
-         carry.hist.objrel, carry.hist.metrics, carry.k, carry.cg_total)
-    )
+    # ONE batched device→host transfer of the WHOLE carry: separate
+    # np.asarray calls each pay a full round-trip (expensive over a
+    # tunneled TPU), and keeping the device carry alive in
+    # Solution.state would pin its history buffers + L-BFGS memory in
+    # HBM for the Solution's lifetime — a slow leak across experiment
+    # loops that retain Solutions. The host copy resumes identically
+    # (resume re-asserts leaves with jnp.asarray).
+    carry = jax.device_get(carry)
     (n_rec_a, x_h, obj_h, fval_h, prires_h, fvaltest_h, rel_h, objrel_h,
-     metrics_h, k_h, cg_h) = host
+     metrics_h, k_h, cg_h) = (
+        carry.hist.n_rec, carry.x, carry.hist.obj, carry.hist.fval,
+        carry.hist.prires, carry.hist.fvaltest, carry.hist.rel,
+        carry.hist.objrel, carry.hist.metrics, carry.k, carry.cg_total)
     n_rec = int(n_rec_a)
     sl = lambda a: np.asarray(a)[:n_rec]
     metricvals = {

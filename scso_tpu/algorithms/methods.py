@@ -37,10 +37,14 @@ class ProxNSCORE:
     solver: str = "auto"
     cg_tol: float = 1e-8
     cg_maxiter: int = 250
-    #: Eisenstat-Walker adaptive CG forcing (opt-in): per-epoch relative
-    #: tolerance eta_k = clip(0.9*(|b_k|/|b_{k-1}|)^2, cg_tol, 0.1) —
-    #: loose far from the solution, tightening as the outer gradient
-    #: shrinks; cg_tol acts as the floor.
+    #: Eisenstat-Walker-style adaptive CG forcing (opt-in): per-epoch
+    #: relative tolerance eta_k = clip(0.9*(s_k/s_ref)^2, cg_tol, 0.1)
+    #: where s_k = ||x_k - x_{k-1}|| and s_ref is the FIRST step length —
+    #: loose while the outer iterates move a lot, tightening
+    #: superlinearly as the steps shrink; cg_tol acts as the floor.
+    #: (Step length, not the classic gradient/rhs-norm ratio: the
+    #: smoothed composite gradient does not vanish at the damped-prox
+    #: fixed point, so rhs-based variants plateau — steps._forcing_tol.)
     cg_adaptive: bool = False
     #: >1 splits the row-sharded CG matvec's second contraction into
     #: output-column chunks whose psums overlap the next chunk's compute

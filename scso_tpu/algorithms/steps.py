@@ -55,7 +55,9 @@ class StepOut(NamedTuple):
     mem: LBFGSMemory
     d: jax.Array        # raw (undamped) direction — CG warm start seed
     cg_iters: jax.Array = None  # CG iterations spent (0 for dense/L-BFGS)
-    bnorm: jax.Array = None  # ‖CG rhs‖ — Eisenstat-Walker forcing state
+    bnorm: jax.Array = None  # EW forcing s_ref (first outer step length,
+    #                          NaN until set) — see _forcing_tol; not a
+    #                          CG rhs norm despite the field's name
 
 
 # solver='auto' size budgets: above these the dense branches (n×n
@@ -278,7 +280,8 @@ def _weighted_system(method, As, x, w, lhr, prob: Problem = None):
     if method.kernels == "pallas" and mesh is not None:
         axis = prob.data_axis
         shard_m = As.shape[0] // mesh.shape[axis]
-        if supports_fused_normal_matvec(shard_m, As.shape[1]):
+        if supports_fused_normal_matvec(shard_m, As.shape[1],
+                                        As.dtype.itemsize):
             mv = lambda v: fused_normal_matvec_sharded(
                 As, w, v, mesh, axis,
                 overlap_chunks=getattr(method, "comm_overlap_chunks", 1),
@@ -286,7 +289,8 @@ def _weighted_system(method, As, x, w, lhr, prob: Problem = None):
         else:
             mv = lambda v: As.T @ (w * (As @ v)) + lhr * v
     elif (method.kernels == "pallas"
-            and supports_fused_normal_matvec(*As.shape)):
+            and supports_fused_normal_matvec(*As.shape,
+                                             As.dtype.itemsize)):
         mv = lambda v: fused_normal_matvec(As, w, v) + lhr * v
     else:
         mv = lambda v: As.T @ (w * (As @ v)) + lhr * v
@@ -468,7 +472,8 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
         # (bench 1.31 s vs 1.15 s) — so the fused prep is OPT-IN.
         if (method.use_fused_prep and method.kernels == "pallas"
                 and getattr(prob, "mesh", None) is None
-                and supports_fused_normal_matvec(*As.shape)):
+                and supports_fused_normal_matvec(*As.shape,
+                                                 As.dtype.itemsize)):
             # ONE pass over A for z + RHS pullback + Jacobi diagonal
             w, b_raw, hdiag_raw = fused_glm_prep(As, ys, x, rw_fn, w_fn)
             b = -(b_raw + lam * gr)

@@ -124,7 +124,7 @@ def fused_glm_prep(A, y, x, rw_fn, w_fn):
     the three-pass jnp path off-kernel-supported shapes.
     """
     m, n = A.shape
-    if not supports_fused_normal_matvec(m, n):
+    if not supports_fused_normal_matvec(m, n, A.dtype.itemsize):
         z = A @ x
         rw = rw_fn(y, z)
         w = w_fn(y, z)

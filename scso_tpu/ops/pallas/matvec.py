@@ -161,7 +161,7 @@ def fused_normal_matvec(A, w, v):
     on CPU so tests validate the kernel itself).
     """
     m, n = A.shape
-    if not supports_fused_normal_matvec(m, n):
+    if not supports_fused_normal_matvec(m, n, A.dtype.itemsize):
         return A.T @ (w * (A @ v))
     counters.bump("fused_normal_matvec")
     interpret = jax.default_backend() != "tpu"

@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from scso_tpu.algorithms.iterate import Options, _solve_fused_impl
+from scso_tpu.algorithms.iterate import (
+    Options,
+    _solve_fused_impl,
+    pad_history,
+)
 from scso_tpu.problems import Problem
 from scso_tpu._src.struct import replace as dc_replace
 
@@ -280,17 +284,7 @@ def _sweep_path(method, prob, reg_name, sm, opts, lam_grid, mu_grid,
     def _pad_hist(c):
         if c.hist.obj.shape[-1] == cap:
             return c
-        def pf(a, fill):
-            a = np.asarray(a)
-            pad = cap - a.shape[-1]
-            return np.concatenate(
-                [a, np.full(a.shape[:-1] + (pad,), fill, a.dtype)],
-                axis=-1)
-        h = c.hist
-        return c._replace(hist=h._replace(
-            fval=pf(h.fval, 0), obj=pf(h.obj, 0), rel=pf(h.rel, 0),
-            objrel=pf(h.objrel, 0), prires=pf(h.prires, np.nan),
-            fvaltest=pf(h.fvaltest, 0), metrics=pf(h.metrics, 0)))
+        return c._replace(hist=pad_history(c.hist, cap, xp=np))
 
     carries = [_pad_hist(c) for c in carries]
     stacked = jax.tree.map(lambda *ls: np.concatenate(

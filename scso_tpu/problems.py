@@ -366,14 +366,24 @@ def make_problem(
     if pad_features:
         n = np.shape(x0)[-1]
         pad = (-n) % 128
-        if grp is not None or C_set is not None:
-            raise ValueError(
-                "pad_features supports l1/l2/no-prox problems only: "
-                "padded coordinates stay exactly 0 through those prox "
-                "ops, but group structure and box bounds would act on "
-                "the padding"
-            )
         if pad:
+            # Guards only matter when padding actually happens: on an
+            # already-128-aligned n the call is a no-op for every
+            # problem kind.
+            if not has_data:
+                raise ValueError(
+                    "pad_features requires a data problem (A, y): only "
+                    "a zero-padded data matrix neutralizes the padded "
+                    "coordinates — a generic f(x) sees them as real "
+                    "variables and silently optimizes over them"
+                )
+            if grp is not None or C_set is not None:
+                raise ValueError(
+                    "pad_features supports l1/l2/no-prox problems only: "
+                    "padded coordinates stay exactly 0 through those prox "
+                    "ops, but group structure and box bounds would act on "
+                    "the padding"
+                )
             n_true = n
 
             def zpad(v):

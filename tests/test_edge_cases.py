@@ -168,6 +168,26 @@ class TestFeaturePadding:
                          C_set=[-1.0, 1.0], pad_features=True,
                          dtype=np.float64)
 
+    def test_rejects_dataless_problems(self):
+        """A generic f(x) sees padded coordinates as real variables and
+        silently optimizes over them — only a zero-padded data matrix
+        neutralizes the padding, so data-less problems are rejected."""
+        from scso_tpu.models import losses
+        with pytest.raises(ValueError, match="data problem"):
+            scso.Problem(np.zeros(10), losses.rosenbrock, 0.1,
+                         pad_features=True, dtype=np.float64)
+
+    def test_aligned_n_is_noop_for_any_problem_kind(self):
+        """The guards fire only when padding would occur: at a
+        128-aligned n, pad_features is a no-op even for bounded or
+        data-less problems (a config that sets pad_features=True
+        unconditionally must not break on aligned shapes)."""
+        from scso_tpu.models import losses
+        p = scso.Problem(np.zeros(128), losses.rosenbrock, 0.1,
+                         C_set=[-1.0, 1.0], pad_features=True,
+                         dtype=np.float64)
+        assert p.n_true is None and p.x0.shape == (128,)
+
     def test_pallas_kernel_parity_on_padded(self):
         """kernels='pallas' (interpret) on a padded problem matches xla."""
         plain, padded = self._pair(n=600, m=128)

@@ -278,6 +278,40 @@ class TestFullStateResume:
         full = scso.iterate(meth, prob, "l1", sm, max_epoch=40, verbose=0)
         np.testing.assert_allclose(resumed.x, full.x, atol=1e-12)
 
+    @pytest.mark.parametrize("interrupt", [13, 12])
+    def test_resume_stats_every_realigns_to_round_grid(self, interrupt):
+        """stats_every>1: an uninterrupted run records at k = 0, K, 2K,
+        ...; a resume from mid-round (k=13, K=3) must first finish that
+        round's plain steps so records land on the same epochs — and a
+        resume from a round boundary (k=12) must not realign at all.
+        Histories then bit-match the uninterrupted run."""
+        prob = self._prob()
+        sm = scso.PHuberSmootherL1L2(1.0)
+        meth = scso.ProxLQNSCORE(m=5)
+        kw = dict(verbose=0, stats_every=3)
+        full = scso.iterate(meth, prob, "l1", sm, max_epoch=40, **kw)
+        part = scso.iterate(meth, prob, "l1", sm, max_epoch=interrupt,
+                            **kw)
+        resumed = scso.iterate(meth, prob, "l1", sm, max_epoch=40,
+                               resume_state=part.state, **kw)
+        self._check_bitmatch(full, resumed)
+
+    def test_solution_state_is_host_resident(self):
+        """Solution.state must not pin device buffers (history + L-BFGS
+        memory would leak HBM across retained Solutions): every leaf of
+        the returned carry is host numpy, and resuming from it still
+        works (covered by the bit-match tests above)."""
+        import jax
+
+        prob = self._prob()
+        sol = scso.iterate(scso.ProxLQNSCORE(m=5), prob, "l1",
+                           scso.PHuberSmootherL1L2(1.0), max_epoch=5,
+                           verbose=0)
+        leaves = jax.tree.leaves(sol.state)
+        assert leaves
+        for leaf in leaves:
+            assert isinstance(leaf, np.ndarray), type(leaf)
+
 
 class TestProfiling:
     def test_phase_timer(self):

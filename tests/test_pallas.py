@@ -45,6 +45,28 @@ class TestFusedNormalMatvec:
         np.testing.assert_allclose(np.asarray(got),
                                    np.asarray(A.T @ (w * (A @ v))))
 
+    def test_support_check_is_itemsize_aware(self):
+        """The VMEM feasibility check must use the SAME itemsize the
+        kernel sizes its tiles with: at n=7040 an f32 tile fits scoped
+        VMEM but an f64 tile does not — with the old default-itemsize
+        check, f64 inputs passed the gate and OOM'd Mosaic's scoped
+        VMEM on device instead of taking the jnp fallback."""
+        from scso_tpu.ops.pallas import counters
+
+        n = 7040  # first 128-multiple where f32 fits and f64 doesn't
+        assert supports_fused_normal_matvec(1024, n, 4)
+        assert not supports_fused_normal_matvec(1024, n, 8)
+        rng = np.random.default_rng(5)
+        A = jnp.asarray(rng.standard_normal((64, n)))  # f64 under x64
+        assert A.dtype == jnp.float64  # test premise
+        w = jnp.asarray(rng.random(64))
+        v = jnp.asarray(rng.standard_normal(n))
+        counters.reset()
+        got = fused_normal_matvec(A, w, v)
+        assert counters.KERNEL_HITS["fused_normal_matvec"] == 0  # fallback
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(A.T @ (w * (A @ v))))
+
     def test_multi_row_block_grid(self):
         """Row counts that straddle the VMEM-budget block size: f64 n=2048
         gives block_rows=256, so m ∈ {256, 257, 600, 1024} covers exactly-

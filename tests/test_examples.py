@@ -45,3 +45,10 @@ def test_scaleout():
 def test_checkpoint_profile():
     sol = run("06_checkpoint_profile")
     assert sol.obj[-1] <= sol.obj[0]
+
+
+def test_poisson():
+    sol = run("07_poisson")
+    assert sol.obj[-1] <= sol.obj[0]
+    # l1 at this lambda must actually sparsify (192 features, ~30 kept)
+    assert int((np.abs(sol.x) > 1e-4).sum()) < 60

@@ -338,3 +338,41 @@ POISSON_GLM = GLMSpec(
     ggn_rw=lambda y, z: (jnp.exp(z) - y) / z.shape[0],
     ggn_w=lambda y, z: jnp.broadcast_to(y / z.shape[0], z.shape),
 )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial (softmax) regression — VECTOR-valued model outputs.
+#   W = x.reshape(p, k);  ŷ = softmax(A·W) rows (m, k);  one-hot y (m, k)
+#   f(A, y, x) = (1/m)·Σᵢ [logsumexp(zᵢ) − yᵢ·zᵢ],  z = A·W
+#
+# The reference's GGN step supports ny outputs per sample through its
+# (m·ny)×n augmented Jacobian (prox-GGN-SCORE.jl:114-135, qdm1 = m·ny);
+# our dense GGN branches flatten J/residual/Q the same way. Q = ∇²_ŷ f
+# for softmax cross-entropy is genuinely non-diagonal across classes, so
+# only the dense GGN branches apply (solver='dense_dual'/'dense_primal');
+# ProxNSCORE works through the closed forms below or the AD fallback.
+# ---------------------------------------------------------------------------
+
+
+def softmax_out(A, x):
+    """ŷ (m, k): softmax rows of A·W with W = x.reshape(A.shape[1], -1)."""
+    return jax.nn.softmax(A @ x.reshape(A.shape[1], -1), axis=-1)
+
+
+def xent_loss(y, yhat):
+    """−(1/m)·Σ y⊙log ŷ with one-hot y (m, k)."""
+    return -jnp.sum(y * jnp.log(yhat + 1e-12)) / y.shape[0]
+
+
+def multinom_f(A, y, x):
+    """Softmax cross-entropy in x — the logsumexp form is exact and
+    saturation-stable (no log of a rounded-to-0 probability)."""
+    z = A @ x.reshape(A.shape[1], -1)
+    return (jnp.sum(jax.nn.logsumexp(z, axis=-1)) - jnp.sum(y * z)
+            ) / A.shape[0]
+
+
+def multinom_grad(A, y, x):
+    """∇_x f = vec(Aᵀ(ŷ − y))/m."""
+    p = jax.nn.softmax(A @ x.reshape(A.shape[1], -1), axis=-1)
+    return ((A.T @ (p - y)) / A.shape[0]).reshape(-1)

@@ -135,3 +135,23 @@ def make_sparse_poisson_data(m: int, n: int, density: float = 0.05,
     y = rng.poisson(np.exp(z)).astype(dtype)
     x0 = (0.01 * rng.standard_normal(n)).astype(dtype)
     return A, y, x0, x_true
+
+
+def make_multinomial_data(m: int, p: int, k: int, seed: int = 1234,
+                          dtype=np.float32, scale: float = 1.0):
+    """Dense-design softmax regression data.
+
+    Labels are drawn by the Gumbel-max trick — argmax of the true logits
+    plus Gumbel noise is an EXACT sample from softmax(A·W_true), so the
+    generated one-hot Y follows the model the multinom losses assume.
+
+    Returns (A, Y_onehot, x0, x_true) with x_true = vec(W_true) —
+    shapes (m, p), (m, k), (p·k,), (p·k,).
+    """
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((m, p)).astype(dtype)
+    W = (scale * rng.standard_normal((p, k))).astype(dtype)
+    labels = np.argmax(A @ W + rng.gumbel(size=(m, k)), axis=-1)
+    Y = np.eye(k, dtype=dtype)[labels]
+    x0 = (0.01 * rng.standard_normal(p * k)).astype(dtype)
+    return A, Y, x0, W.reshape(-1).astype(dtype)

@@ -52,3 +52,8 @@ def test_poisson():
     assert sol.obj[-1] <= sol.obj[0]
     # l1 at this lambda must actually sparsify (192 features, ~30 kept)
     assert int((np.abs(sol.x) > 1e-4).sum()) < 60
+
+
+def test_multinomial():
+    sol = run("08_multinomial")
+    assert sol.obj[-1] <= sol.obj[0]

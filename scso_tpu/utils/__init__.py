@@ -8,7 +8,9 @@ checkpoint/resume and `jax.profiler` phase tracing.
 from scso_tpu.utils.metrics import mean_square_error, slice_data, batch_iter
 from scso_tpu.utils.checkpoint import (
     load_state,
+    load_state_orbax,
     save_state,
+    save_state_orbax,
     solution_to_state,
 )
 from scso_tpu.utils.profiling import (
@@ -28,6 +30,8 @@ __all__ = [
     "batch_iter",
     "save_state",
     "load_state",
+    "save_state_orbax",
+    "load_state_orbax",
     "solution_to_state",
     "trace_phase",
     "profile_to",

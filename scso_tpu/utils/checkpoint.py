@@ -13,9 +13,14 @@ while_loop and continues **bit-identically** to an uninterrupted run
 `save_state` writes any pytree-of-arrays to one `.npz` file; `load_state`
 restores it (optionally onto a template pytree for structure/dtype
 fidelity, validating the stored treedef against the template's).
+`save_state_orbax`/`load_state_orbax` are the same contract on the TPU
+ecosystem's standard checkpoint format (orbax) — sharded multi-host
+writes and async saves come with it.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import jax
@@ -64,6 +69,66 @@ def load_state(path: str, template=None):
             f"  template: {treedef}"
         )
     return jax.tree.unflatten(treedef, leaves)
+
+
+def _pack_empty(a):
+    """Orbax cannot serialize zero-size arrays (e.g. the metrics history
+    with no metrics registered) — stand in a 1-element zero of the same
+    dtype; load_state_orbax restores the true empty leaf from the
+    template."""
+    a = np.asarray(a)
+    return np.zeros(1, a.dtype) if a.size == 0 else a
+
+
+def save_state_orbax(path: str, tree, *, async_save: bool = False):
+    """Serialize a pytree via orbax (the TPU-ecosystem checkpoint format).
+
+    Same contract as :func:`save_state` but writes an orbax checkpoint
+    DIRECTORY — on multi-host meshes each host writes only its shards,
+    and ``async_save=True`` overlaps the write with ongoing compute
+    (returns the checkpointer; call ``.wait_until_finished()`` before
+    reading the checkpoint back). Leaves are normalized to numpy arrays
+    (orbax rejects bare numpy scalars).
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    tree = jax.tree.map(_pack_empty, tree)
+    if async_save:
+        ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        ckptr.save(path, tree, force=True)
+        return ckptr
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+    return None
+
+
+def load_state_orbax(path: str, template=None):
+    """Load an orbax checkpoint written by :func:`save_state_orbax`.
+
+    With ``template``, the stored arrays are restored into the
+    template's pytree structure (orbax validates names/shapes) and any
+    zero-size template leaves come back as-is (their sentinel stand-ins
+    — orbax cannot store empty arrays — are discarded). Without a
+    template, returns a plain dict of the stored arrays, where
+    originally-empty leaves appear as their 1-element sentinels.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        if template is None:
+            return ckptr.restore(path)
+        packed = jax.tree.map(_pack_empty, template)
+        out = ckptr.restore(path, packed)
+        return jax.tree.map(
+            lambda t, r: np.asarray(t) if np.asarray(t).size == 0 else r,
+            template, out)
+    finally:
+        ckptr.close()
 
 
 def solution_to_state(sol):

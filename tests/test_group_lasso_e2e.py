@@ -245,6 +245,27 @@ class TestFullStateResume:
                                verbose=0, resume_state=state)
         self._check_bitmatch(full, resumed)
 
+    def test_resume_through_orbax_roundtrip(self, tmp_path):
+        """save_state_orbax/load_state_orbax round-trip of the full
+        carry (the TPU-ecosystem checkpoint format), then resume —
+        bit-identical, same contract as the npz path. Also exercises
+        async_save (write overlapped with compute)."""
+        from scso_tpu.utils import load_state_orbax, save_state_orbax
+
+        prob = self._prob(seed=2)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        meth = scso.ProxLQNSCORE(m=5)
+        full = scso.iterate(meth, prob, "l1", sm, max_epoch=30, verbose=0)
+        part = scso.iterate(meth, prob, "l1", sm, max_epoch=12, verbose=0)
+        p = str(tmp_path / "carry_orbax")
+        ck = save_state_orbax(p, part.state, async_save=True)
+        ck.wait_until_finished()
+        ck.close()
+        state = load_state_orbax(p, template=part.state)
+        resumed = scso.iterate(meth, prob, "l1", sm, max_epoch=30,
+                               verbose=0, resume_state=state)
+        self._check_bitmatch(full, resumed)
+
     def test_resume_converged_run_is_stable(self):
         """Resuming a converged solve returns the same solution and takes
         no further epochs (done flag is honored)."""

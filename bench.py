@@ -56,6 +56,10 @@ PAD = bool(int(os.environ.get("BENCH_PAD", "0")))
 # BENCH_ADAPTIVE=1: Eisenstat-Walker step-length forcing instead of the
 # fixed 3e-4 cg_tol
 ADAPTIVE = bool(int(os.environ.get("BENCH_ADAPTIVE", "0")))
+# BENCH_LP=1: precision-adaptive CG — attach a bf16 copy of A and run
+# loose-forcing epochs' curvature matvecs on it (needs BENCH_ADAPTIVE=1
+# to produce loose epochs); +A.nbytes/2 HBM
+LP = bool(int(os.environ.get("BENCH_LP", "0")))
 # BENCH_FUSED_PREP=1: single-pass Pallas GLM epoch prep (z + RHS + Jacobi
 # diag in one A read) instead of XLA's three fused passes
 FUSED_PREP = bool(int(os.environ.get("BENCH_FUSED_PREP", "0")))
@@ -92,6 +96,7 @@ def main():
     # anchored CPU protocol; 1e-3 starts costing epochs)
     method = scso.ProxGGNSCORE(solver="cg", cg_tol=3e-4, cg_maxiter=100,
                                cg_adaptive=ADAPTIVE,
+                               cg_lp_tol=(1e-2 if LP else 0.0),
                                use_fused_prep=FUSED_PREP)
     sm = scso.PHuberSmootherL1L2(1.0)
     # stats_every=4: the per-epoch stats pass (full-data fval) is ~half
@@ -106,6 +111,8 @@ def main():
     # --- presolve: chain warm-started chunks to the true optimum ----------
     # x_star=0 ⇒ the f_tol gap criterion cannot fire (obj* = log 2 ≫ gap)
     prob = build_problem()
+    if LP:
+        prob = scso.with_lp_copy(prob)
     cur = prob
     best = np.inf
     x_opt = None
@@ -214,6 +221,7 @@ def main():
         "config": (f"{M}x{N}" + ("(pad)" if PAD else "") + " "
                    + ("bf16+f32 mixed" if use_mixed else "f32")
                    + ("+EWforcing" if ADAPTIVE else "")
+                   + ("+lpCG" if LP else "")
                    + ", ProxGGNSCORE(cg), PHuberL1L2(mu=1)"),
         "device": jax.devices()[0].device_kind,
         "epochs": int(epochs),

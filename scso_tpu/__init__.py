@@ -40,7 +40,7 @@ from scso_tpu.algorithms.methods import (
     ProximalMethod,
 )
 from scso_tpu.algorithms.iterate import Options, Solution, iterate, solve
-from scso_tpu.algorithms.mixed import iterate_mixed
+from scso_tpu.algorithms.mixed import iterate_mixed, with_lp_copy
 from scso_tpu.ops import smoothers as _smoothers
 from scso_tpu.ops.groups import (
     Groups,
@@ -122,6 +122,7 @@ __all__ = [
     "make_problem",
     "iterate",
     "iterate_mixed",
+    "with_lp_copy",
     "solve",
     "Options",
     "Solution",

@@ -86,6 +86,15 @@ class ProxGGNSCORE:
     cg_maxiter: int = 250
     #: Eisenstat-Walker adaptive CG forcing — see ProxNSCORE.cg_adaptive
     cg_adaptive: bool = False
+    #: precision-adaptive CG (opt-in, needs Problem.A_lp — see
+    #: algorithms.mixed.with_lp_copy): epochs whose CG forcing tolerance
+    #: is >= cg_lp_tol run their curvature matvecs on the low-precision
+    #: data copy (bf16 halves HBM traffic); tighter epochs use full
+    #: precision. RHS/gradients always use the full-precision A, so only
+    #: the inexact-Newton direction error grows — bounded by the forcing
+    #: tolerance itself when cg_lp_tol >> the copy's ~1e-3 matvec error.
+    #: 0.0 disables. Sensible value with cg_adaptive=True: 1e-2.
+    cg_lp_tol: float = 0.0
     #: comm/compute overlap for the sharded CG matvec — see ProxNSCORE
     comm_overlap_chunks: int = 1
     kernels: str = "auto"

@@ -27,6 +27,24 @@ from scso_tpu.problems import Problem
 from scso_tpu._src.struct import replace as dc_replace
 
 
+def with_lp_copy(model: Problem, dtype=jnp.bfloat16) -> Problem:
+    """Attach a low-precision copy of the data matrix for
+    precision-adaptive CG.
+
+    Pair with ``ProxGGNSCORE(cg_adaptive=True, cg_lp_tol=...)``: epochs
+    whose Eisenstat-Walker forcing tolerance is >= ``cg_lp_tol`` run
+    their curvature matvecs on the ``dtype`` copy (bf16 = half the HBM
+    traffic per CG iteration); tighter epochs use the full-precision A.
+    Costs ``A.nbytes / 2`` extra HBM. Unlike `iterate_mixed`'s two-phase
+    scheme the OUTER trajectory keeps full-precision gradients/RHS — only
+    the inexact-Newton direction error grows, bounded by the forcing
+    tolerance itself.
+    """
+    if not model.has_data:
+        raise ValueError("with_lp_copy requires a data problem (A, y)")
+    return dc_replace(model, A_lp=model.A.astype(dtype))
+
+
 def iterate_mixed(method, model: Problem, reg_name: str, h_mu, *,
                   coarse_f_tol: float = 1e-3, coarse_max_epoch: int = 50,
                   coarse_dtype=jnp.bfloat16, **kwargs) -> Solution:

@@ -264,6 +264,26 @@ def _forcing_tol(method, b, x, x_prev, ref_prev, it):
     return eta, ref
 
 
+def _lp_matvec(method, prob: Problem, As, w, lhr):
+    """Low-precision CG matvec for precision-adaptive CG, or None.
+
+    Requires the problem to carry a low-precision data copy
+    (``Problem.A_lp``, see algorithms.mixed.with_lp_copy) and
+    ``method.cg_lp_tol > 0``. Full-batch single-chip only: a batch slice
+    or a mesh-sharded A has no matching A_lp view.
+    """
+    A_lp = getattr(prob, "A_lp", None)
+    if (getattr(method, "cg_lp_tol", 0.0) <= 0.0 or A_lp is None
+            or getattr(prob, "mesh", None) is not None
+            or A_lp.shape != As.shape):
+        return None
+    if (method.kernels == "pallas"
+            and supports_fused_normal_matvec(*A_lp.shape,
+                                             A_lp.dtype.itemsize)):
+        return lambda v: fused_normal_matvec(A_lp, w, v) + lhr * v
+    return lambda v: (A_lp.T @ (w * (A_lp @ v))).astype(w.dtype) + lhr * v
+
+
 def _weighted_system(method, As, x, w, lhr, prob: Problem = None):
     """(matvec, preconditioner) from precomputed GLM weights w:
     mv(v) = Aᵀ(w∘(Av)) + λHr∘v, Jacobi M⁻¹ = 1/(diag(AᵀWA) + λHr).
@@ -487,6 +507,7 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
             w = w_fn(ys, z)
             b = -(As.T @ rw + lam * gr)
             mv, M_inv = _weighted_system(method, As, x, w, lhr, prob)
+        mv_lp = _lp_matvec(method, prob, As, w, lhr)
     else:
         yhat, residual, q_diag = prob.ggn_residual_qdiag(As, ys, x)
         _, jt = prob.vjp_out(As, x)
@@ -494,10 +515,23 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
         mv, M_inv = _glm_cg_system(
             method, prob, As, ys, x, lhr, prob.ggn_w,
             lambda v: jt(q_diag * prob.jvp_out(As, x, v)))
+        mv_lp = None
     xp = x if x_prev is None else x_prev
     tol, bnorm = _forcing_tol(method, b, x, xp, bnorm_prev, it)
-    res = cg_solve(mv, b, d_prev, tol=tol,
-                   maxiter=method.cg_maxiter, M_inv=M_inv)
+    if mv_lp is not None:
+        # precision-adaptive CG: while the forcing tolerance is looser
+        # than cg_lp_tol, the low-precision copy's matvec error (bf16
+        # ~1e-3 relative) is dominated by the allowed CG inexactness —
+        # this epoch's curvature matvecs stream A_lp at half the HBM
+        # traffic. The RHS b above stays full-precision (exact gradient,
+        # inexact direction — the safe inexact-Newton split).
+        run = lambda m_: cg_solve(m_, b, d_prev, tol=tol,
+                                  maxiter=method.cg_maxiter, M_inv=M_inv)
+        res = jax.lax.cond(tol >= method.cg_lp_tol,
+                           lambda _: run(mv_lp), lambda _: run(mv), None)
+    else:
+        res = cg_solve(mv, b, d_prev, tol=tol,
+                       maxiter=method.cg_maxiter, M_inv=M_inv)
     return res.x, res.iters, bnorm
 
 

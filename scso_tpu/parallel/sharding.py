@@ -137,6 +137,10 @@ def shard_problem(prob: Problem, mesh: Mesh,
         lb=put_rep(prob.lb),
         ub=put_rep(prob.ub),
         groups=replicate(prob.groups, mesh),
+        # precision-adaptive CG gates itself off on a mesh (steps.
+        # _lp_matvec); carrying the copy would only replicate A.nbytes/2
+        # of dead weight onto every device
+        A_lp=None,
         mesh=mesh,
         data_axis=data_axis,
     )

@@ -93,6 +93,13 @@ class Problem:
     lb: Optional[jax.Array] = None
     ub: Optional[jax.Array] = None
     groups: Optional[Groups] = None
+    #: optional LOW-PRECISION copy of A (usually bfloat16 — build with
+    #: algorithms.mixed.with_lp_copy) for precision-adaptive CG: while
+    #: the CG forcing tolerance is looser than the copy's matvec error,
+    #: curvature matvecs stream A_lp at half the HBM traffic
+    #: (ProxGGNSCORE.cg_lp_tol). RHS/gradients always use the full-
+    #: precision A. No reference analogue (pure-f64 Julia).
+    A_lp: Optional[jax.Array] = None
 
     # --- static metadata ------------------------------------------------
     f: Optional[Callable] = static_field(default=None)

@@ -312,6 +312,58 @@ class TestMixedPrecision:
         np.testing.assert_allclose(sol.x, [1.0, 1.0], atol=1e-3)
 
 
+class TestPrecisionAdaptiveCG:
+    """Precision-adaptive CG (ProxGGNSCORE.cg_lp_tol + Problem.A_lp):
+    epochs whose forcing tolerance is loose run their curvature matvecs
+    on a low-precision data copy; the RHS stays full precision."""
+
+    def _prob(self, **kw):
+        return make_glm_problem(m=512, n=128, **kw)
+
+    def _solve(self, prob, method):
+        sm = scso.PHuberSmootherL1L2(1.0)
+        return scso.iterate(method, prob, "l1", sm, max_epoch=120,
+                            verbose=0)
+
+    def test_off_by_default_and_gates_bitmatch(self):
+        from scso_tpu._src.struct import replace as dc_replace
+
+        prob = self._prob()
+        base = self._solve(prob, scso.ProxGGNSCORE(solver="cg",
+                                                   cg_adaptive=True))
+        # same-dtype copy + always-lp threshold: identical math
+        p_same = scso.with_lp_copy(prob, dtype=prob.A.dtype)
+        s_same = self._solve(p_same, scso.ProxGGNSCORE(
+            solver="cg", cg_adaptive=True, cg_lp_tol=1e-12))
+        np.testing.assert_array_equal(s_same.x, base.x)
+        # poisoned copy + never-lp threshold: the gate must keep it out
+        p_poison = dc_replace(prob, A_lp=jnp.zeros_like(prob.A))
+        s_never = self._solve(p_poison, scso.ProxGGNSCORE(
+            solver="cg", cg_adaptive=True, cg_lp_tol=1e30))
+        np.testing.assert_array_equal(s_never.x, base.x)
+        # cg_lp_tol left at 0.0: A_lp present but ignored
+        s_off = self._solve(p_poison, scso.ProxGGNSCORE(
+            solver="cg", cg_adaptive=True))
+        np.testing.assert_array_equal(s_off.x, base.x)
+
+    @pytest.mark.parametrize("kernels", ["xla", "pallas"])
+    def test_bf16_copy_reaches_same_optimum(self, kernels):
+        prob = scso.with_lp_copy(self._prob())  # bf16 copy
+        base = self._solve(prob, scso.ProxGGNSCORE(
+            solver="cg", cg_adaptive=True, kernels=kernels))
+        lp = self._solve(prob, scso.ProxGGNSCORE(
+            solver="cg", cg_adaptive=True, cg_lp_tol=1e-2,
+            kernels=kernels))
+        np.testing.assert_allclose(lp.obj[-1], base.obj[-1], rtol=1e-7)
+        np.testing.assert_allclose(lp.x, base.x, atol=1e-5)
+
+    def test_requires_data_problem(self):
+        x0 = np.array([0.2, -0.5])
+        prob = scso.Problem(x0, losses.rosenbrock, 1e-8, dtype=np.float64)
+        with pytest.raises(ValueError, match="data problem"):
+            scso.with_lp_copy(prob)
+
+
 class TestGGNConvergence:
     def test_ggn_01_labels_matches_newton(self):
         """Regression: GGN with the 0/1-label cross-entropy family must

@@ -94,6 +94,9 @@ class ProxGGNSCORE:
     #: the inexact-Newton direction error grows — bounded by the forcing
     #: tolerance itself when cg_lp_tol >> the copy's ~1e-3 matvec error.
     #: 0.0 disables. Sensible value with cg_adaptive=True: 1e-2.
+    #: SCALAR solves only: under vmap (sweep/solve_fleet) the batched
+    #: precision cond lowers to a select that executes BOTH matvecs —
+    #: correct but strictly slower; leave it off in sweeps.
     cg_lp_tol: float = 0.0
     #: comm/compute overlap for the sharded CG matvec — see ProxNSCORE
     comm_overlap_chunks: int = 1

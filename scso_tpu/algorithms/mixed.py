@@ -38,7 +38,9 @@ def with_lp_copy(model: Problem, dtype=jnp.bfloat16) -> Problem:
     Costs ``A.nbytes / 2`` extra HBM. Unlike `iterate_mixed`'s two-phase
     scheme the OUTER trajectory keeps full-precision gradients/RHS — only
     the inexact-Newton direction error grows, bounded by the forcing
-    tolerance itself.
+    tolerance itself. For SCALAR solves: under vmap the per-epoch
+    precision cond lowers to a select that runs both matvecs (see
+    ProxGGNSCORE.cg_lp_tol).
     """
     if not model.has_data:
         raise ValueError("with_lp_copy requires a data problem (A, y)")

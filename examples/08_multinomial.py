@@ -2,11 +2,12 @@
 
 The reference's GGN step handles ŷ with ny outputs per sample through
 its (m·ny)×n augmented Jacobian (prox-GGN-SCORE.jl:114-135, qdm1 =
-m·ny). Here the dense GGN branches flatten J/residual/Q the same way;
-softmax cross-entropy has a genuinely non-diagonal Q = ∇²_ŷ f, so this
-is the one family where the dense branches are the GGN story (the CG
-fast path assumes elementwise losses) — ProxNSCORE and ProxLQNSCORE run
-on the closed-form gradient as usual.
+m·ny). Here the dense GGN branches flatten J/residual/Q the same way.
+(With this probability-output split Q is in fact diagonal — the famous
+non-diagonal softmax curvature belongs to the logits split; the dense
+branches are used because the scalable CG fast path assumes a scalar
+per-sample linear predictor, not (m, k) outputs.) ProxNSCORE and
+ProxLQNSCORE run on the closed-form gradient as usual.
 """
 
 import numpy as np

@@ -273,9 +273,26 @@ def _lp_matvec(method, prob: Problem, As, w, lhr):
     or a mesh-sharded A has no matching A_lp view.
     """
     A_lp = getattr(prob, "A_lp", None)
-    if (getattr(method, "cg_lp_tol", 0.0) <= 0.0 or A_lp is None
+    lp_tol = getattr(method, "cg_lp_tol", 0.0)
+    if (lp_tol <= 0.0 or A_lp is None
             or getattr(prob, "mesh", None) is not None
             or A_lp.shape != As.shape):
+        return None
+    floor = _cg_tol(method, w.dtype)
+    if lp_tol <= floor:
+        # the forcing tolerance never drops below the floor, so this
+        # threshold would keep the low-precision matvec engaged through
+        # the ENDGAME — CG then chases a residual below the copy's own
+        # error and burns cg_maxiter every epoch. Refuse rather than
+        # stall.
+        _warn_once(
+            ("lp-tol-floor", (lp_tol, floor)),
+            f"cg_lp_tol={lp_tol:g} is <= the CG tolerance floor "
+            f"{floor:g} — the low-precision matvec would stay engaged "
+            "through the convergence endgame and stall CG below the "
+            "copy's own error. Disabled; set cg_lp_tol well above "
+            "cg_tol (e.g. 1e-2).",
+        )
         return None
     if (method.kernels == "pallas"
             and supports_fused_normal_matvec(*A_lp.shape,

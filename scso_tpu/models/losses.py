@@ -347,10 +347,15 @@ POISSON_GLM = GLMSpec(
 #
 # The reference's GGN step supports ny outputs per sample through its
 # (m·ny)×n augmented Jacobian (prox-GGN-SCORE.jl:114-135, qdm1 = m·ny);
-# our dense GGN branches flatten J/residual/Q the same way. Q = ∇²_ŷ f
-# for softmax cross-entropy is genuinely non-diagonal across classes, so
-# only the dense GGN branches apply (solver='dense_dual'/'dense_primal');
-# ProxNSCORE works through the closed forms below or the AD fallback.
+# our dense GGN branches flatten J/residual/Q the same way. With THIS
+# split (ŷ = probabilities, loss = −Σ y⊙log ŷ/m) Q = ∇²_ŷ f happens to
+# be diagonal (y_ij/ŷ_ij²/m) — the classic non-diagonal diag(p) − ppᵀ
+# curvature belongs to the logits split, which out_fn/loss_fn do NOT
+# implement. The GGN route still goes through the dense branches
+# (solver='dense_dual'/'dense_primal'): the scalable CG fast path
+# assumes a scalar per-sample linear predictor (the GLM single-z form),
+# not (m, k) outputs. ProxNSCORE/ProxLQNSCORE work through the closed
+# forms below or the AD fallback.
 # ---------------------------------------------------------------------------
 
 

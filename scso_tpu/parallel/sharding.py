@@ -205,6 +205,11 @@ def shard_problem_features(prob: Problem, mesh: Mesh,
         ub=put_vec(prob.ub),
         lam=put_rep(prob.lam),
         L=put_rep(prob.L),
+        # precision-adaptive CG is a single-chip feature: without this,
+        # A_lp stays committed to one device while A is column-sharded,
+        # and the lp gate (which keys on prob.mesh, unset here) would
+        # route the hot matvec through a full-size single-device copy
+        A_lp=None,
     )
 
 

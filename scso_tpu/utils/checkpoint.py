@@ -85,10 +85,12 @@ def save_state_orbax(path: str, tree, *, async_save: bool = False):
 
     Same contract as :func:`save_state` but writes an orbax checkpoint
     DIRECTORY — on multi-host meshes each host writes only its shards,
-    and ``async_save=True`` overlaps the write with ongoing compute
-    (returns the checkpointer; call ``.wait_until_finished()`` before
-    reading the checkpoint back). Leaves are normalized to numpy arrays
-    (orbax rejects bare numpy scalars).
+    and ``async_save=True`` overlaps the write with ongoing compute:
+    it returns the AsyncCheckpointer, which owns a background thread —
+    call ``.wait_until_finished()`` before reading the checkpoint back
+    and ``.close()`` when done (each unclosed checkpointer leaks its
+    thread). Leaves are normalized to numpy arrays (orbax rejects bare
+    numpy scalars).
     """
     import orbax.checkpoint as ocp
 

@@ -250,6 +250,7 @@ class TestFullStateResume:
         carry (the TPU-ecosystem checkpoint format), then resume —
         bit-identical, same contract as the npz path. Also exercises
         async_save (write overlapped with compute)."""
+        pytest.importorskip("orbax.checkpoint")
         from scso_tpu.utils import load_state_orbax, save_state_orbax
 
         prob = self._prob(seed=2)

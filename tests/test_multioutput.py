@@ -5,9 +5,11 @@ augmented system is built from the (m·ny)×n Jacobian
 (prox-GGN-SCORE.jl:114-135, `qdm1 = m·ny`). Our dense branches flatten
 J/residual/Q the same way (steps.py `_ggn_dense_direction`:
 J.reshape(-1, n)); this exercises that surface end-to-end with a
-multinomial (softmax) regression, whose Q = ∇²_ŷ loss is genuinely
-non-diagonal — only the dense branches apply (the CG fast path assumes
-elementwise losses).
+multinomial (softmax) regression. (With the probability-output split Q
+is diagonal — the non-diagonal softmax curvature belongs to the logits
+split — but the flattening surface is what matters here: the CG fast
+path assumes scalar per-sample predictors, so vector outputs route
+through the dense branches.)
 """
 
 import numpy as np

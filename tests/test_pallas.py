@@ -331,10 +331,10 @@ class TestPrecisionAdaptiveCG:
         prob = self._prob()
         base = self._solve(prob, scso.ProxGGNSCORE(solver="cg",
                                                    cg_adaptive=True))
-        # same-dtype copy + always-lp threshold: identical math
+        # same-dtype copy: identical math whichever branch runs
         p_same = scso.with_lp_copy(prob, dtype=prob.A.dtype)
         s_same = self._solve(p_same, scso.ProxGGNSCORE(
-            solver="cg", cg_adaptive=True, cg_lp_tol=1e-12))
+            solver="cg", cg_adaptive=True, cg_lp_tol=1e-2))
         np.testing.assert_array_equal(s_same.x, base.x)
         # poisoned copy + never-lp threshold: the gate must keep it out
         p_poison = dc_replace(prob, A_lp=jnp.zeros_like(prob.A))
@@ -345,6 +345,37 @@ class TestPrecisionAdaptiveCG:
         s_off = self._solve(p_poison, scso.ProxGGNSCORE(
             solver="cg", cg_adaptive=True))
         np.testing.assert_array_equal(s_off.x, base.x)
+
+    def test_lp_branch_actually_executes(self):
+        """Positive proof the cond picks the copy on loose epochs: a
+        poisoned (zero) A_lp with an engaging threshold must change the
+        trajectory vs the plain solve."""
+        from scso_tpu._src.struct import replace as dc_replace
+
+        prob = self._prob()
+        base = self._solve(prob, scso.ProxGGNSCORE(solver="cg",
+                                                   cg_adaptive=True))
+        p_poison = dc_replace(prob, A_lp=jnp.zeros_like(prob.A))
+        s = self._solve(p_poison, scso.ProxGGNSCORE(
+            solver="cg", cg_adaptive=True, cg_lp_tol=1e-2))
+        assert not np.array_equal(s.x, base.x)
+
+    def test_lp_tol_at_or_below_floor_is_refused(self):
+        """cg_lp_tol <= the CG tolerance floor would keep the bf16
+        matvec engaged through the endgame (CG chasing a residual below
+        the copy's own error) — the gate disables it with a warning and
+        the solve proceeds in full precision."""
+        import warnings
+
+        prob = scso.with_lp_copy(self._prob())
+        base = self._solve(prob, scso.ProxGGNSCORE(solver="cg",
+                                                   cg_adaptive=True))
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            s = self._solve(prob, scso.ProxGGNSCORE(
+                solver="cg", cg_adaptive=True, cg_lp_tol=1e-12))
+        np.testing.assert_array_equal(s.x, base.x)
+        assert any("cg_lp_tol" in str(w.message) for w in rec)
 
     @pytest.mark.parametrize("kernels", ["xla", "pallas"])
     def test_bf16_copy_reaches_same_optimum(self, kernels):

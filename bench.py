@@ -24,11 +24,43 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
+
+# The axon TPU backend initializes through a tunnel that can go down —
+# and a dead tunnel HANGS backend init for ~30 min (plugin-internal
+# retries) rather than erroring. Probe it in a subprocess with a
+# timeout BEFORE importing jax here; on failure fall back to CPU so the
+# bench still emits its JSON line (marked by the "device" field)
+# instead of wedging the driver. Platform selection MUST go through
+# jax.config.update: during an outage the JAX_PLATFORMS env var route
+# still blocks in plugin discovery, the config route does not
+# (measured on a live outage).
+# The env var is popped (the harness exports JAX_PLATFORMS=axon) and
+# re-applied through the config so the selection survives the probe.
+_env_platforms = os.environ.pop("JAX_PLATFORMS", None)
+_tpu_ok = True
+if _env_platforms != "cpu":
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=180, check=True, capture_output=True)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        print("bench: TPU backend unavailable — falling back to CPU",
+              file=sys.stderr)
+        _tpu_ok = False
 
 import numpy as np
 
 import jax
+
+if not _tpu_ok or _env_platforms == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+elif _env_platforms is not None:
+    jax.config.update("jax_platforms", _env_platforms)
+
 import jax.numpy as jnp
 
 # convergence at 1e-6 needs true f32 matmuls, not the TPU default bf16 passes
@@ -46,9 +78,11 @@ from scso_tpu.ops.lbfgs_core import init_memory
 from scso_tpu.models import losses, synthetic
 from scso_tpu._src.struct import replace as dc_replace
 
-import os
-
-M = int(os.environ.get("BENCH_M", 1 << 19))  # 524288×1024 ≈ 2 GiB f32
+# CPU fallback shrinks the default rows 8x: the full 524288x1024 bench
+# takes hours on 4 host cores vs <1 min on one v5e; the JSON marks the
+# device either way. Explicit BENCH_M always wins.
+_default_m = (1 << 19) if jax.default_backend() == "tpu" else (1 << 16)
+M = int(os.environ.get("BENCH_M", _default_m))
 N = int(os.environ.get("BENCH_N", 1024))
 # BENCH_PAD=1: zero-pad ragged n to a 128 multiple at problem build so the
 # fused kernels engage (the north-star n = 10^4 is not a 128 multiple)

@@ -25,42 +25,22 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
-# The axon TPU backend initializes through a tunnel that can go down —
-# and a dead tunnel HANGS backend init for ~30 min (plugin-internal
-# retries) rather than erroring. Probe it in a subprocess with a
-# timeout BEFORE importing jax here; on failure fall back to CPU so the
-# bench still emits its JSON line (marked by the "device" field)
-# instead of wedging the driver. Platform selection MUST go through
-# jax.config.update: during an outage the JAX_PLATFORMS env var route
-# still blocks in plugin discovery, the config route does not
-# (measured on a live outage).
-# The env var is popped (the harness exports JAX_PLATFORMS=axon) and
-# re-applied through the config so the selection survives the probe.
-_env_platforms = os.environ.pop("JAX_PLATFORMS", None)
-_tpu_ok = True
-if _env_platforms != "cpu":
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=180, check=True, capture_output=True)
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-        print("bench: TPU backend unavailable — falling back to CPU",
-              file=sys.stderr)
-        _tpu_ok = False
+# A dead axon tunnel HANGS backend init (~30 min of plugin retries)
+# rather than erroring — probe and fall back to CPU through the config
+# route so the bench still emits its JSON line (the "device" field
+# records which backend ran) instead of wedging the driver. Details in
+# scso_tpu/utils/backend.py.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from scso_tpu.utils.backend import select_backend  # noqa: E402
+
+select_backend()
 
 import numpy as np
 
 import jax
-
-if not _tpu_ok or _env_platforms == "cpu":
-    jax.config.update("jax_platforms", "cpu")
-elif _env_platforms is not None:
-    jax.config.update("jax_platforms", _env_platforms)
-
 import jax.numpy as jnp
 
 # convergence at 1e-6 needs true f32 matmuls, not the TPU default bf16 passes

@@ -19,6 +19,11 @@ import time
 # allow `python benchmarks/run_all.py` from anywhere
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from scso_tpu.utils.backend import select_backend  # noqa: E402
+
+# a dead TPU tunnel hangs backend init — probe + CPU fallback
+select_backend()
+
 import numpy as np
 import jax
 import jax.numpy as jnp

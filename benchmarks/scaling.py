@@ -35,6 +35,11 @@ except NameError:  # exec'd without __file__
     _HERE = os.path.join(os.getcwd(), "benchmarks")
 sys.path.insert(0, os.path.dirname(_HERE))
 
+from scso_tpu.utils.backend import select_backend  # noqa: E402
+
+# a dead TPU tunnel hangs backend init — probe + CPU fallback
+select_backend()
+
 import numpy as np
 import jax
 import jax.numpy as jnp

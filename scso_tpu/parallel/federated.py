@@ -98,8 +98,16 @@ def split_clients(prob: Problem, n_clients: int) -> Problem:
         x_star=rep(prob.x_star),
         lb=rep(prob.lb),
         ub=rep(prob.ub),
-        # test data and the lp copy stay out of the local solves
+        # the fleet vmaps EVERY array leaf on axis 0 — group structure
+        # must carry the client axis too (identical across clients)
+        groups=(None if prob.groups is None
+                else jax.tree.map(lambda a: rep(jnp.asarray(a)),
+                                  prob.groups)),
+        # test data and the lp copy stay out of the local solves; a
+        # row-sharded input's mesh would leak shard_map collectives
+        # into the vmapped per-client trace — local solves are local
         Atest=None, ytest=None, A_lp=None,
+        mesh=None, data_axis=None,
     )
 
 
@@ -141,12 +149,20 @@ def federated_solve(method, prob: Problem, reg_name: str, sm, *,
         w = w / jnp.sum(w)
 
     base_opts = opts or Options()
-    ropts = dataclasses.replace(base_opts, max_epoch=local_epochs,
-                                verbose=0)
+    # Degenerate-f_tol guard (same as sweep's, sweep.py): with the
+    # default x_star = zeros, obj_star = obj(0) and the f_tol gap test
+    # fires AT any zero iterate — a zero cold start (or a round whose
+    # average sparsifies to exactly 0) would freeze every local solve
+    # at epoch 0 and report "converged". Local rounds are epoch-capped
+    # anyway; disable the gap test unless a real x_star was supplied.
+    xs = prob.x_star
+    real_star = xs is not None and bool(jnp.any(jnp.asarray(xs) != 0))
+    ropts = dataclasses.replace(
+        base_opts, max_epoch=local_epochs, verbose=0,
+        f_tol=(base_opts.f_tol if real_star else -1.0))
 
     def central_obj(x):
-        return float(prob.f_val(prob.A, prob.y, x)
-                     + prob.reg(reg_name, x))
+        return float(prob.obj(reg_name, x))
 
     x_global = jnp.asarray(prob.x0)
     objs, epochs_hist = [], []

@@ -19,6 +19,7 @@ compile + one device dispatch instead of 4096.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional
 
 import numpy as np
@@ -322,9 +323,25 @@ def solve_fleet(method, probs: Problem, reg_name: str, sms, *,
         probs = jax.tree.map(put, probs)
         sms = jax.tree.map(put, sms)
 
+    fn = _fleet_fn(method, reg_name, opts, rng_seed)
+    carry = jax.block_until_ready(fn(probs, sms))
+    return _carry_to_result(carry)
+
+
+@functools.lru_cache(maxsize=64)
+def _fleet_fn(method, reg_name, opts, rng_seed):
+    """One jitted vmapped fleet program per static config.
+
+    A fresh ``jax.jit(jax.vmap(closure))`` per call would retrace and
+    RECOMPILE every invocation (jit caches on the function object) —
+    repeat callers like :func:`~scso_tpu.parallel.federated.
+    federated_solve` invoke the identical program once per
+    communication round, and TPU compiles go through a slow remote
+    service. Statics (frozen method/opts dataclasses, reg_name, seed)
+    are hashable, so memoize the wrapper itself.
+    """
+
     def run_one(p, s):
         return _solve_fused_impl(method, p, reg_name, s, opts, (), rng_seed)
 
-    fn = jax.jit(jax.vmap(run_one))
-    carry = jax.block_until_ready(fn(probs, sms))
-    return _carry_to_result(carry)
+    return jax.jit(jax.vmap(run_one))

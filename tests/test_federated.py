@@ -118,6 +118,51 @@ class TestFederatedSolve:
         assert f3.rounds < 30
         assert f3.client_epochs.shape == (f3.rounds, 4)
 
+    def test_zero_cold_start_still_solves(self):
+        """The degenerate f_tol-at-zero guard (same as sweep's): a zero
+        x0 with the default x_star must not freeze local solves at
+        epoch 0 — the run must make real progress."""
+        from scso_tpu._src.struct import replace as dc_replace
+
+        prob = _prob()
+        prob0 = dc_replace(prob, x0=np.zeros_like(np.asarray(prob.x0)))
+        fed = federated_solve(METH(), prob0, "l1", SM(), n_clients=8,
+                              comm_rounds=3, local_epochs=4)
+        obj_at_zero = float(prob.f_val(prob.A, prob.y,
+                                       np.zeros(prob.x0.shape[-1])))
+        assert np.min(fed.obj) < obj_at_zero - 1e-3
+        assert np.any(fed.client_epochs > 0)
+
+    def test_group_lasso_federated(self):
+        """Group structure must carry the client axis (the fleet vmaps
+        every leaf) — gl federated solves run and make progress."""
+        from scso_tpu.models import synthetic as syn
+
+        A, y, x0, _ = syn.make_sparse_logreg_data(
+            256, 24, density=0.25, n_active=6, seed=5, dtype=np.float64)
+        groups = scso.make_contiguous_groups(24, 4)
+        prob = scso.Problem(A, y, x0, losses.logistic_f,
+                            [1e-3, 1e-2], grad_fx=losses.logistic_grad,
+                            hess_fx=losses.logistic_hess, groups=groups,
+                            dtype=np.float64)
+        sm = scso.PHuberSmootherGL(1.0, prob)
+        fed = federated_solve(METH(), prob, "gl", sm, n_clients=4,
+                              comm_rounds=3, local_epochs=4)
+        assert np.all(np.isfinite(fed.obj))
+        assert fed.obj.shape == (3,)
+        central = scso.iterate(METH(), prob, "gl", sm, max_epoch=100,
+                               verbose=0)
+        gap = (np.min(fed.obj) - central.obj[-1]) / abs(central.obj[-1])
+        assert gap < 0.08, gap
+
+    def test_rejects_or_strips_sharded_input(self):
+        """split_clients strips mesh/data_axis: local solves are local
+        (a leaked mesh would trace shard_map collectives under vmap)."""
+        prob = _prob()
+        sh = shard_problem(prob, make_mesh())
+        cl = split_clients(sh, 8)
+        assert cl.mesh is None and cl.data_axis is None
+
     def test_client_axis_on_mesh(self):
         prob = _prob()
         plain = federated_solve(METH(), prob, "l1", SM(), n_clients=8,

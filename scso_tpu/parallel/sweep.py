@@ -193,19 +193,31 @@ def sweep(method, prob: Problem, reg_name: str, sm, *,
         if x0_grid is not None:
             x0_grid = jax.device_put(x0_grid, sh)
 
-    # prob/sm enter through jit as ARGUMENTS (vmap in_axes=None), never as
-    # captured constants — a closed-over data matrix would be baked into
-    # the HLO and shipped to the compiler byte-for-byte
+    fn = _sweep_fn(method, reg_name, opts, rng_seed,
+                   has_x0=x0_grid is not None)
+    carry = jax.block_until_ready(fn(lam_grid, mu_grid, x0_grid, prob, sm))
+    return _carry_to_result(carry)
+
+
+@functools.lru_cache(maxsize=64)
+def _sweep_fn(method, reg_name, opts, rng_seed, has_x0):
+    """One jitted vmapped sweep program per static config (see
+    _fleet_fn: a fresh jit per call recompiles; repeat callers — path
+    waves, CV loops — reuse the cached wrapper).
+
+    prob/sm enter through jit as ARGUMENTS (vmap in_axes=None), never as
+    captured constants — a closed-over data matrix would be baked into
+    the HLO and shipped to the compiler byte-for-byte.
+    """
+
     def run_one(lam, mu, x0, p, s):
-        p = dc_replace(p, lam=lam) if x0 is None else dc_replace(
-            p, lam=lam, x0=x0)
+        p = (dc_replace(p, lam=lam, x0=x0) if has_x0
+             else dc_replace(p, lam=lam))
         s = dc_replace(s, mu=mu)
         return _solve_fused_impl(method, p, reg_name, s, opts, (), rng_seed)
 
-    x0_ax = None if x0_grid is None else 0
-    fn = jax.jit(jax.vmap(run_one, in_axes=(0, 0, x0_ax, None, None)))
-    carry = jax.block_until_ready(fn(lam_grid, mu_grid, x0_grid, prob, sm))
-    return _carry_to_result(carry)
+    x0_ax = 0 if has_x0 else None
+    return jax.jit(jax.vmap(run_one, in_axes=(0, 0, x0_ax, None, None)))
 
 
 def _sweep_path(method, prob, reg_name, sm, opts, lam_grid, mu_grid,
@@ -254,12 +266,8 @@ def _sweep_path(method, prob, reg_name, sm, opts, lam_grid, mu_grid,
                 "or a larger grid")
     put = (lambda a: jax.device_put(a, sh)) if sh is not None else (lambda a: a)
 
-    def make_fn(o):
-        def run_one(lam, mu, x0, p, s):
-            p = dc_replace(p, lam=lam, x0=x0)
-            s = dc_replace(s, mu=mu)
-            return _solve_fused_impl(method, p, reg_name, s, o, (), rng_seed)
-        return jax.jit(jax.vmap(run_one, in_axes=(0, 0, 0, None, None)))
+    make_fn = lambda o: _sweep_fn(method, reg_name, o, rng_seed,
+                                  has_x0=True)
 
     fn = make_fn(opts)
     if wave_max_epoch is not None and int(wave_max_epoch) != opts.max_epoch:

@@ -140,6 +140,69 @@ def test_random_config_invariants(case):
         assert sol.obj[-1] <= sol.obj[0] + 1e-9, case
 
 
+def _gen_ggn_cases():
+    rng = np.random.default_rng(MASTER_SEED + 1)
+    cases = []
+    for i in range(8):
+        cases.append(dict(
+            i=i,
+            m=4 * int(rng.integers(16, 80)),
+            n=int(rng.integers(8, 64)),
+            family=str(rng.choice(["logistic01", "poisson"])),
+            ss_type=int(rng.choice([1, 2, 3])),
+            batch=bool(rng.random() < 0.25),
+            stats_every=int(rng.choice([1, 4])),
+            adaptive=bool(rng.random() < 0.5),
+            seed=int(rng.integers(0, 2**31)),
+        ))
+    return cases
+
+
+GGN_CASES = _gen_ggn_cases()
+
+
+def _build_glm(case):
+    m, n, seed = case["m"], case["n"], case["seed"]
+    if case["family"] == "poisson":
+        A, y, x0, _ = synthetic.make_sparse_poisson_data(
+            m, n, density=0.2, n_active=max(2, n // 6), seed=seed,
+            dtype=np.float64)
+        return scso.Problem(A, y, x0, losses.poisson_f, 1e-2,
+                            grad_fx=losses.poisson_grad,
+                            out_fn=losses.exp_out,
+                            loss_fn=losses.poisson_loss,
+                            glm=losses.POISSON_GLM, dtype=np.float64)
+    A, y, x0, _ = synthetic.make_sparse_logreg_data(
+        m, n, density=0.2, n_active=max(2, n // 6), seed=seed,
+        dtype=np.float64, label01=True)
+    return scso.Problem(A, y, x0, losses.logistic01_f, 1e-2,
+                        grad_fx=losses.logistic01_grad,
+                        out_fn=losses.sigmoid_out,
+                        loss_fn=losses.logistic_loss_01,
+                        glm=losses.LOGISTIC01_GLM, dtype=np.float64)
+
+
+@pytest.mark.parametrize("case", GGN_CASES, ids=lambda c: f"ggn{c['i']}")
+def test_ggn_glm_random_config_invariants(case):
+    """The GGN-CG GLM fast path (the headline TPU path) under random
+    families/configs — same universal invariants."""
+    prob = _build_glm(case)
+    sm = scso.PHuberSmootherL1L2(1.0)
+    meth = scso.ProxGGNSCORE(solver="cg", ss_type=case["ss_type"],
+                             cg_adaptive=case["adaptive"])
+    kw = dict(max_epoch=25, verbose=0, stats_every=case["stats_every"])
+    if case["batch"]:
+        kw.update(batch_size=prob.A.shape[0] // 4, rng_seed=3)
+    sol = scso.iterate(meth, prob, "l1", sm, **kw)
+    assert 0 < len(sol.obj) <= kw["max_epoch"] + 1
+    assert len(sol.obj) == len(sol.fval) == len(sol.rel)
+    if not np.all(np.isfinite(sol.x)):
+        finite_obj = sol.obj[np.isfinite(sol.obj)]
+        assert finite_obj.size and np.max(finite_obj) > 1e50, case
+    elif case["ss_type"] == 3 and not case["batch"]:
+        assert sol.obj[-1] <= sol.obj[0] + 1e-9, case
+
+
 @pytest.mark.parametrize("case", [c for c in CASES if c["i"] % 3 == 0],
                          ids=lambda c: f"case{c['i']}")
 def test_random_config_resume_bitmatch(case):

@@ -6,6 +6,11 @@ checkpoint/resume and `jax.profiler` phase tracing.
 """
 
 from scso_tpu.utils.metrics import mean_square_error, slice_data, batch_iter
+from scso_tpu.utils.deploy import (
+    export_solver,
+    load_solver,
+    make_serving_fn,
+)
 from scso_tpu.utils.checkpoint import (
     load_state,
     load_state_orbax,
@@ -33,6 +38,9 @@ __all__ = [
     "save_state_orbax",
     "load_state_orbax",
     "solution_to_state",
+    "export_solver",
+    "load_solver",
+    "make_serving_fn",
     "trace_phase",
     "profile_to",
     "PhaseTimer",

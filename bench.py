@@ -71,9 +71,14 @@ PAD = bool(int(os.environ.get("BENCH_PAD", "0")))
 # fixed 3e-4 cg_tol
 ADAPTIVE = bool(int(os.environ.get("BENCH_ADAPTIVE", "0")))
 # BENCH_LP=1: precision-adaptive CG — attach a bf16 copy of A and run
-# loose-forcing epochs' curvature matvecs on it (needs BENCH_ADAPTIVE=1
-# to produce loose epochs); +A.nbytes/2 HBM
+# loose-forcing epochs' curvature matvecs on it; +A.nbytes/2 HBM.
+# Implies BENCH_ADAPTIVE: with the fixed 3e-4 forcing no epoch is ever
+# "loose" and the lp path would silently never engage.
 LP = bool(int(os.environ.get("BENCH_LP", "0")))
+if LP and not ADAPTIVE:
+    print("bench: BENCH_LP=1 implies BENCH_ADAPTIVE=1 (fixed forcing "
+          "never engages the lp path)", file=sys.stderr)
+    ADAPTIVE = True
 # BENCH_FUSED_PREP=1: single-pass Pallas GLM epoch prep (z + RHS + Jacobi
 # diag in one A read) instead of XLA's three fused passes
 FUSED_PREP = bool(int(os.environ.get("BENCH_FUSED_PREP", "0")))

@@ -79,6 +79,9 @@ if LP and not ADAPTIVE:
     print("bench: BENCH_LP=1 implies BENCH_ADAPTIVE=1 (fixed forcing "
           "never engages the lp path)", file=sys.stderr)
     ADAPTIVE = True
+# BENCH_CURV_ROWS=K: subsampled-curvature CG (exact RHS, strided K-row
+# GGN estimate — each CG matvec streams K/M of the data); keep K >> N
+CURV_ROWS = int(os.environ.get("BENCH_CURV_ROWS", "0"))
 # BENCH_FUSED_PREP=1: single-pass Pallas GLM epoch prep (z + RHS + Jacobi
 # diag in one A read) instead of XLA's three fused passes
 FUSED_PREP = bool(int(os.environ.get("BENCH_FUSED_PREP", "0")))
@@ -116,6 +119,7 @@ def main():
     method = scso.ProxGGNSCORE(solver="cg", cg_tol=3e-4, cg_maxiter=100,
                                cg_adaptive=ADAPTIVE,
                                cg_lp_tol=(1e-2 if LP else 0.0),
+                               curvature_rows=CURV_ROWS,
                                use_fused_prep=FUSED_PREP)
     sm = scso.PHuberSmootherL1L2(1.0)
     # stats_every=4: the per-epoch stats pass (full-data fval) is ~half
@@ -241,6 +245,7 @@ def main():
                    + ("bf16+f32 mixed" if use_mixed else "f32")
                    + ("+EWforcing" if ADAPTIVE else "")
                    + ("+lpCG" if LP else "")
+                   + (f"+curv{CURV_ROWS}" if CURV_ROWS else "")
                    + ", ProxGGNSCORE(cg), PHuberL1L2(mu=1)"),
         "device": jax.devices()[0].device_kind,
         "epochs": int(epochs),

@@ -100,6 +100,15 @@ class ProxGGNSCORE:
     cg_lp_tol: float = 0.0
     #: comm/compute overlap for the sharded CG matvec — see ProxNSCORE
     comm_overlap_chunks: int = 1
+    #: subsampled curvature (opt-in; inexact subsampled proximal Newton,
+    #: arXiv:1708.08552 flavor): estimate the GGN curvature from a
+    #: strided subsample of ~curvature_rows data rows while the
+    #: RHS/gradient stays EXACT over all rows — every CG matvec then
+    #: streams m_sub/m of the data (the dominant HBM cost). The extra
+    #: direction error joins the CG forcing error; pair with
+    #: cg_adaptive. 0 disables. GLM single-z path only; exclusive with
+    #: cg_lp_tol (the low-precision copy has full-m shape).
+    curvature_rows: int = 0
     kernels: str = "auto"
     # opt-in single-pass epoch-prep kernel (ops/pallas/glm_prep) — XLA's
     # own fusion of the z/b/hdiag passes measured faster on v5e

@@ -503,11 +503,26 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
             sp = g.dlink(zb)
             return _norm_fix(sp * sp * g.qdiag(yb, g.link(zb)), zb)
 
+        K = int(getattr(method, "curvature_rows", 0) or 0)
+        subsample = (0 < K < m_total
+                     and getattr(prob, "mesh", None) is None)
+        if subsample and K < 2 * x.shape[-1]:
+            # a subsample thinner than ~n rows gives a (near-)singular
+            # curvature estimate — measured to balloon CG iterations and
+            # then diverge once K < n (rank-deficient JᵀQJ)
+            _warn_once(
+                ("curv-thin", (K, x.shape[-1])),
+                f"curvature_rows={K} < 2·n={2 * x.shape[-1]}: the "
+                "subsampled curvature is (near-)rank-deficient — expect "
+                "CG to struggle or the outer iteration to diverge. Use "
+                "curvature_rows >> n.",
+            )
         # MEASURED on v5e at 524288×1024: XLA already fuses the z/b/hdiag
         # passes into ~5.7 ms/epoch of multiply-reduce fusions, while the
         # Mosaic prep kernel (halved tiles for the a*a buffer) costs more
         # (bench 1.31 s vs 1.15 s) — so the fused prep is OPT-IN.
-        if (method.use_fused_prep and method.kernels == "pallas"
+        if (not subsample
+                and method.use_fused_prep and method.kernels == "pallas"
                 and getattr(prob, "mesh", None) is None
                 and supports_fused_normal_matvec(*As.shape,
                                                  As.dtype.itemsize)):
@@ -518,13 +533,43 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
             hdiag = hdiag_raw + lhr
             mv = lambda v: fused_normal_matvec(As, w, v) + lhr * v
             M_inv = lambda v: v / jnp.maximum(hdiag, tiny)
+            mv_lp = _lp_matvec(method, prob, As, w, lhr)
         else:
             z = As @ x
             rw = rw_fn(ys, z)
-            w = w_fn(ys, z)
             b = -(As.T @ rw + lam * gr)
-            mv, M_inv = _weighted_system(method, As, x, w, lhr, prob)
-        mv_lp = _lp_matvec(method, prob, As, w, lhr)
+            if subsample:
+                # Subsampled curvature (method.curvature_rows): the RHS
+                # above is EXACT over all rows; only the CG operator's
+                # weights come from a strided ~K-row subsample, so each
+                # CG matvec streams m_sub/m of the data. Strided (not
+                # random): deterministic under jit/vmap/resume, and the
+                # generators shuffle rows anyway — document for ordered
+                # real data.
+                stride = -(-m_total // K)  # ceil
+                As_c, ys_c = As[::stride], ys[::stride]
+                z_c = As_c @ x
+
+                def w_sub(yb, zb):
+                    if g.ggn_w is not None:
+                        val = g.ggn_w(yb, zb)
+                    else:
+                        sp = g.dlink(zb)
+                        val = sp * sp * g.qdiag(yb, g.link(zb))
+                    # sample_normalized specs divide by the input length
+                    # (= m_sub here) — already the Monte-Carlo average
+                    # scale; unnormalized specs need the m/m_sub factor
+                    if not g.sample_normalized:
+                        val = val * (m_total / zb.shape[0])
+                    return val
+
+                mv, M_inv = _weighted_system(
+                    method, As_c, x, w_sub(ys_c, z_c), lhr, prob)
+                mv_lp = None  # exclusive: A_lp has full-m shape
+            else:
+                w = w_fn(ys, z)
+                mv, M_inv = _weighted_system(method, As, x, w, lhr, prob)
+                mv_lp = _lp_matvec(method, prob, As, w, lhr)
     else:
         yhat, residual, q_diag = prob.ggn_residual_qdiag(As, ys, x)
         _, jt = prob.vjp_out(As, x)

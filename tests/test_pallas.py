@@ -395,6 +395,61 @@ class TestPrecisionAdaptiveCG:
             scso.with_lp_copy(prob)
 
 
+class TestSubsampledCurvature:
+    """ProxGGNSCORE.curvature_rows: exact RHS, strided-subsample GGN
+    curvature (inexact subsampled proximal Newton) — each CG matvec
+    streams m_sub/m of the data."""
+
+    def _prob(self, m=2048, n=64, seed=4):
+        A, y, x0, _ = synthetic.make_sparse_logreg_data(
+            m, n, density=0.15, n_active=12, seed=seed,
+            dtype=np.float64, label01=True)
+        return scso.Problem(A, y, x0, losses.logistic01_f, 1e-2,
+                            grad_fx=losses.logistic01_grad,
+                            glm=losses.LOGISTIC01_GLM, dtype=np.float64)
+
+    def test_full_subsample_is_noop(self):
+        prob = self._prob()
+        base = scso.iterate(scso.ProxGGNSCORE(solver="cg",
+                                              cg_adaptive=True),
+                            prob, "l1", scso.PHuberSmootherL1L2(1.0), max_epoch=120,
+                            verbose=0)
+        same = scso.iterate(scso.ProxGGNSCORE(solver="cg",
+                                              cg_adaptive=True,
+                                              curvature_rows=10**9),
+                            prob, "l1", scso.PHuberSmootherL1L2(1.0), max_epoch=120,
+                            verbose=0)
+        np.testing.assert_array_equal(same.x, base.x)
+
+    def test_quarter_subsample_same_optimum(self):
+        """m/4 curvature rows: same optimum to ~1e-3 relative, with the
+        expected trade (more CG iterations, each streaming m/4 rows)."""
+        prob = self._prob()
+        base = scso.iterate(scso.ProxGGNSCORE(solver="cg",
+                                              cg_adaptive=True),
+                            prob, "l1", scso.PHuberSmootherL1L2(1.0), max_epoch=200,
+                            verbose=0)
+        sub = scso.iterate(scso.ProxGGNSCORE(solver="cg",
+                                             cg_adaptive=True,
+                                             curvature_rows=512),
+                           prob, "l1", scso.PHuberSmootherL1L2(1.0), max_epoch=200,
+                           verbose=0)
+        rel = abs(sub.obj[-1] - base.obj[-1]) / abs(base.obj[-1])
+        assert rel < 1e-3, rel
+        assert np.all(np.isfinite(sub.x))
+
+    def test_thin_subsample_warns(self):
+        import warnings
+
+        prob = self._prob(m=512, n=64)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            scso.iterate(scso.ProxGGNSCORE(solver="cg", cg_adaptive=True,
+                                           curvature_rows=32),
+                         prob, "l1", scso.PHuberSmootherL1L2(1.0), max_epoch=5, verbose=0)
+        assert any("curvature_rows" in str(w.message) for w in rec)
+
+
 class TestGGNConvergence:
     def test_ggn_01_labels_matches_newton(self):
         """Regression: GGN with the 0/1-label cross-entropy family must

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from scso_tpu.ops.pallas.matvec import fused_normal_matvec, supports_fused_normal_matvec
 from scso_tpu.ops.pallas.score_update import fused_score_update
-from scso_tpu.ops.pallas.two_loop import fused_two_loop, supports_fused_two_loop
+from scso_tpu.ops.pallas.two_loop import fused_two_loop
 from scso_tpu.ops.pallas.glm_prep import fused_glm_prep
 from scso_tpu.ops.pallas.matvec import (
     supports_fused_normal_matvec as supports_fused_glm_prep,

@@ -26,7 +26,6 @@ import json
 import os
 import sys
 import time
-import traceback
 
 try:
     _HERE = os.path.dirname(os.path.abspath(__file__))

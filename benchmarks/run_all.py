@@ -26,7 +26,6 @@ select_backend()
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 jax.config.update("jax_default_matmul_precision", "highest")
 if jax.default_backend() == "tpu":
@@ -38,7 +37,6 @@ if jax.default_backend() == "tpu":
 
 import scso_tpu as scso
 from scso_tpu.models import losses, synthetic
-from scso_tpu._src.struct import replace as dc_replace
 
 
 def timeit(fn):

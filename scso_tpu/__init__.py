@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from scso_tpu._src.struct import pytree_dataclass, static_field
 from scso_tpu.problems import (
     Interval,
     Problem as CompositeProblem,

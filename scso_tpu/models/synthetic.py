@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from scso_tpu.ops.groups import Groups, make_contiguous_groups
+from scso_tpu.ops.groups import make_contiguous_groups
 
 
 def make_sparse_logreg_data(m: int, n: int, density: float = 0.01,

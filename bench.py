@@ -82,6 +82,10 @@ if LP and not ADAPTIVE:
 # BENCH_CURV_ROWS=K: subsampled-curvature CG (exact RHS, strided K-row
 # GGN estimate — each CG matvec streams K/M of the data); keep K >> N
 CURV_ROWS = int(os.environ.get("BENCH_CURV_ROWS", "0"))
+# BENCH_GREEDY=1: greedy SCORE damping — trial the undamped prox step,
+# accept on strict composite-objective decrease, damped fallback
+# (methods' greedy_alpha; measured ~2x fewer epochs at n = 10^4)
+GREEDY = bool(int(os.environ.get("BENCH_GREEDY", "0")))
 # BENCH_FUSED_PREP=1: single-pass Pallas GLM epoch prep (z + RHS + Jacobi
 # diag in one A read) instead of XLA's three fused passes
 FUSED_PREP = bool(int(os.environ.get("BENCH_FUSED_PREP", "0")))
@@ -120,6 +124,7 @@ def main():
                                cg_adaptive=ADAPTIVE,
                                cg_lp_tol=(1e-2 if LP else 0.0),
                                curvature_rows=CURV_ROWS,
+                               greedy_alpha=GREEDY,
                                use_fused_prep=FUSED_PREP)
     sm = scso.PHuberSmootherL1L2(1.0)
     # stats_every=4: the per-epoch stats pass (full-data fval) is ~half
@@ -244,6 +249,7 @@ def main():
         "config": (f"{M}x{N}" + ("(pad)" if PAD else "") + " "
                    + ("bf16+f32 mixed" if use_mixed else "f32")
                    + ("+EWforcing" if ADAPTIVE else "")
+                   + ("+greedy" if GREEDY else "")
                    + ("+lpCG" if LP else "")
                    + (f"+curv{CURV_ROWS}" if CURV_ROWS else "")
                    + ", ProxGGNSCORE(cg), PHuberL1L2(mu=1)"),

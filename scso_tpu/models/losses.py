@@ -248,6 +248,7 @@ LOGISTIC01_GLM = GLMSpec(
         y * jax.nn.sigmoid(-z) ** 2
         + (1.0 - y) * jax.nn.sigmoid(z) ** 2
     ) / z.shape[0],
+    loss_z=lambda y, z: jnp.mean(jax.nn.softplus(z) - y * z),
 )
 
 LSQ_GLM = GLMSpec(
@@ -259,6 +260,7 @@ LSQ_GLM = GLMSpec(
     gres=lambda y, z: (z - y) / z.shape[0],
     ggn_rw=lambda y, z: (z - y) / z.shape[0],
     ggn_w=lambda y, z: jnp.full_like(z, 1.0 / z.shape[0]),
+    loss_z=lambda y, z: 0.5 * jnp.sum((z - y) ** 2) / z.shape[0],
 )
 
 
@@ -337,6 +339,7 @@ POISSON_GLM = GLMSpec(
     # (both exponentials cancel — exact for any z where ŷ is finite)
     ggn_rw=lambda y, z: (jnp.exp(z) - y) / z.shape[0],
     ggn_w=lambda y, z: jnp.broadcast_to(y / z.shape[0], z.shape),
+    loss_z=lambda y, z: jnp.mean(jnp.exp(z) - y * z),
 )
 
 

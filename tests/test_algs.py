@@ -405,8 +405,8 @@ class TestSizeAwareAuto:
         sm = scso.PHuberSmootherL1L2(1.0)
         with pytest.warns(UserWarning, match="Newton-CG"):
             s_auto = scso.iterate(
-                scso.ProxNSCORE(cg_tol=1e-12), prob, "l1", sm,
-                max_epoch=30, verbose=0)
+                scso.ProxNSCORE(cg_tol=1e-12, cg_adaptive=False), prob,
+                "l1", sm, max_epoch=30, verbose=0)
         s_dense = scso.iterate(scso.ProxNSCORE(solver="dense"), prob, "l1",
                                sm, max_epoch=30, verbose=0)
         np.testing.assert_allclose(s_auto.x, s_dense.x, atol=1e-8)
@@ -521,7 +521,8 @@ class TestAdaptiveForcing:
         prob = self._prob()
         sm = scso.PHuberSmootherL1L2(1.0)
         kw = dict(max_epoch=200, f_tol=1e-9, verbose=0, alpha=1.0)
-        fixed = scso.iterate(make_method(), prob, "l1", sm, **kw)
+        fixed = scso.iterate(make_method(cg_adaptive=False), prob, "l1",
+                             sm, **kw)
         adapt = scso.iterate(make_method(cg_adaptive=True), prob, "l1",
                              sm, **kw)
         np.testing.assert_allclose(adapt.obj[-1], fixed.obj[-1], rtol=1e-7)

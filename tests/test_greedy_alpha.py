@@ -73,7 +73,8 @@ class TestGreedyAccelerates:
         reaches the 1e-6 gap in at most the damped epoch count (measured:
         ~2x fewer at n >= 10^4 — benchmarks/diag_epochs.py)."""
         sm = scso.PHuberSmootherL1L2(1.0)
-        damped = scso.ProxGGNSCORE(solver="cg", cg_tol=3e-4, cg_maxiter=100)
+        damped = scso.ProxGGNSCORE(solver="cg", cg_tol=3e-4,
+                                   cg_adaptive=False, cg_maxiter=100)
         greedy = dc_replace(damped, greedy_alpha=True)
         prob = _gap_anchor(_mid_logreg(), greedy, sm, alpha=1.0)
         kw = dict(x_tol=1e-14, f_tol=1e-6, max_epoch=400, verbose=0,

@@ -12,7 +12,6 @@ import contextlib
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 
 @contextlib.contextmanager
@@ -36,29 +35,41 @@ def sanitize(nans: bool = True, disable_jit: bool = False):
 
 def solve_with_recovery(method, model, reg_name, h_mu, *, chunk_epochs=50,
                         max_chunks=20, retries=2, on_nan="restart",
-                        **kwargs):
+                        fault_inject=None, **kwargs):
     """Chunked solve with snapshot-based failure recovery.
 
     Runs the solve in ``chunk_epochs``-sized chunks, snapshotting the
-    iterate between chunks. On a failed chunk (exception, or non-finite
-    iterate with ``on_nan='restart'``) the chunk is retried from the last
-    good snapshot up to ``retries`` times; multi-host transients and
-    NaN-producing steps therefore lose at most one chunk of work. Returns
-    the last chunk's Solution with cumulative epoch count.
+    FULL solver carry (``Solution.state``: iterate, L-BFGS memory, CG
+    warm-start direction, gradient caches, histories, RNG key) between
+    chunks. On a failed chunk (exception, or non-finite iterate with
+    ``on_nan='restart'``) the chunk is retried from the last good
+    snapshot up to ``retries`` times — so a recovered run BIT-MATCHES an
+    uninterrupted one (full-carry resume, not a bare ``x0`` warm start;
+    the resume path is the same one tested in
+    tests/test_group_lasso_e2e.py). Multi-host transients lose at most
+    one chunk of work; a DETERMINISTIC failure (the same NaN reproduced
+    from the same snapshot) exhausts ``retries`` and re-raises.
+
+    ``fault_inject``: optional callback ``(chunk_idx, attempt) -> None``
+    invoked before each chunk attempt; raising ``RuntimeError`` from it
+    simulates a transient failure (the fault-injection hook for testing
+    recovery — SURVEY.md §5).
     """
     from scso_tpu.algorithms.iterate import iterate
-    from scso_tpu._src.struct import replace as dc_replace
 
     kwargs.pop("max_epoch", None)
-    cur = model
-    total_epochs = 0
+    kwargs.pop("resume_state", None)
+    state = None
     sol = None
-    for _ in range(max_chunks):
+    for chunk in range(max_chunks):
+        cap = (chunk + 1) * chunk_epochs
         attempt = 0
         while True:
             try:
-                s = iterate(method, cur, reg_name, h_mu,
-                            max_epoch=chunk_epochs, **kwargs)
+                if fault_inject is not None:
+                    fault_inject(chunk, attempt)
+                s = iterate(method, model, reg_name, h_mu, max_epoch=cap,
+                            resume_state=state, **kwargs)
                 if on_nan == "restart" and not np.all(np.isfinite(s.x)):
                     raise FloatingPointError("non-finite iterate")
                 break
@@ -66,10 +77,8 @@ def solve_with_recovery(method, model, reg_name, h_mu, *, chunk_epochs=50,
                 attempt += 1
                 if attempt > retries:
                     raise
-        total_epochs += s.epochs
         sol = s
-        if s.epochs < chunk_epochs:  # converged inside the chunk
+        state = s.state  # last good full carry (epochs are cumulative)
+        if s.epochs < cap:  # converged inside the chunk
             break
-        cur = dc_replace(cur, x0=jnp.asarray(s.x))
-    sol.epochs = total_epochs
     return sol

@@ -99,11 +99,104 @@ def _xla_kernels(method):
     return dataclasses.replace(method, kernels="xla")
 
 
+def _dispatch_latency_s() -> float:
+    """Measured per-dispatch round-trip latency (seconds): best of three
+    timed no-op dispatches of a pre-compiled trivial program. ~1 s over a
+    tunneled TPU (axon), ~1 ms for local/ICI-attached devices, ~50 µs on
+    CPU — the decisive input to the throughput-vs-quality plan rule."""
+    import time
+
+    f = jax.jit(lambda a: a + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    jax.block_until_ready(f(x))  # compile outside the timing
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+#: rough device-class throughput constants for the plan='auto' estimate —
+#: order-of-magnitude is all the rule needs (the two regimes it separates
+#: differ by 100-1000x)
+_PLAN_BW_BYTES_S = {"tpu": 500e9, "cpu": 20e9}
+_PLAN_FLOPS_S = {"tpu": 4e13, "cpu": 2e11}
+_PLAN_PASSES = 3        # data passes per epoch (step + stats, measured)
+_PLAN_WARM_EPOCHS = 10  # measured mean warm-wave epochs (docs/STATUS.md)
+
+
+def _largest_wave_count(B: int, cap: int = 16, ndev: int = 1) -> int:
+    """Largest divisor of B in [2, cap] whose per-wave batch also divides
+    the mesh's batch axis (0 if none — prime/tiny grids)."""
+    for w in range(min(cap, B), 1, -1):
+        if B % w == 0 and (B // w) % ndev == 0:
+            return w
+    return 0
+
+
+def _resolve_plan(plan: str, prob: Problem, B: int, opts: Options,
+                  ndev: int) -> tuple:
+    """(path_waves, wave_max_epoch) for a named execution plan.
+
+    Decision rule (from the round-2 measurements, docs/STATUS.md
+    config-5): pathwise waves buy ~3.7x fewer epochs per instance but pay
+    one dispatch per wave; they win wall-clock iff the per-wave compute
+    dominates the dispatch latency. Estimate one warm wave's compute as
+    WARM_EPOCHS x t_epoch with t_epoch = max(bandwidth term: PASSES x
+    bytes(A) / BW — per-epoch A reads are batch-width-insensitive when
+    the data is shared across instances — and compute term: PASSES x
+    2 m n Bw / FLOPS), and take waves iff that exceeds 4x the measured
+    dispatch latency (dispatch overhead < 25% per wave). Over the ~1 s
+    axon tunnel with small per-instance work this picks 'throughput'
+    (cold measured 3.84 s vs 15.7 s waves); on CPU or with ms-latency
+    local chips and real per-instance work it picks 'quality' (CPU
+    measured 64 total epochs vs 2994 cold for identical solutions).
+    """
+    if plan == "throughput":
+        return 0, None
+    W = _largest_wave_count(B, ndev=ndev)
+    if W == 0:
+        _plan_warn(f"plan={plan!r}: grid size {B} has no divisor in "
+                   "[2, 16] — falling back to the cold one-dispatch plan")
+        return 0, None
+    cap = max(5, opts.max_epoch // 4)
+    if plan == "quality":
+        return W, cap
+    # plan == 'auto'
+    if prob.A is None:
+        return 0, None  # data-less problems: per-epoch work unknown; cold
+    m, n = prob.A.shape[0], prob.A.shape[-1]
+    itemsize = jnp.dtype(prob.A.dtype).itemsize
+    dev = "tpu" if jax.default_backend() == "tpu" else "cpu"
+    Bw = B // W
+    t_epoch = max(
+        _PLAN_PASSES * m * n * itemsize / _PLAN_BW_BYTES_S[dev],
+        _PLAN_PASSES * 2.0 * m * n * Bw / _PLAN_FLOPS_S[dev],
+    )
+    t_wave = _PLAN_WARM_EPOCHS * t_epoch
+    if t_wave > 4.0 * _dispatch_latency_s():
+        return W, cap
+    return 0, None
+
+
+_plan_warned: set = set()
+
+
+def _plan_warn(msg):
+    if msg not in _plan_warned:
+        _plan_warned.add(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
+
+
 def sweep(method, prob: Problem, reg_name: str, sm, *,
           lam_grid=None, mu_grid=None, x0_grid=None, opts: Options = None,
           mesh: Optional[Mesh] = None, batch_axis: str = "batch",
           rng_seed: int = 0, path_waves: int = 0,
-          wave_max_epoch: Optional[int] = None) -> SweepResult:
+          wave_max_epoch: Optional[int] = None,
+          plan: Optional[str] = None) -> SweepResult:
     """Solve a (λ, μ) regularization path as one vmapped SPMD program.
 
     Args:
@@ -138,6 +231,25 @@ def sweep(method, prob: Problem, reg_name: str, sm, *,
         path wall time at the cost of leaving the hardest instances at
         the cap. Costs one extra compiled program (two instead of one).
         Only meaningful with ``path_waves >= 2``.
+      plan: named execution plan — the measured-trade-aware alternative
+        to hand-picking ``path_waves`` (mutually exclusive with it):
+
+        * ``'throughput'`` — one wide cold dispatch (minimum wall-clock
+          when per-dispatch latency dominates, e.g. a tunneled TPU:
+          measured 3.84 s vs 15.7 s for 16 waves at config-5 scale).
+        * ``'quality'`` — pathwise warm-started waves (W = largest
+          divisor of B in [2,16], warm cap = max_epoch/4): ~3.7x fewer
+          epochs per instance and better final objectives on ~92% of
+          instances (docs/STATUS.md config-5), at W dispatches.
+        * ``'auto'`` — picks between them by comparing one warm wave's
+          estimated compute (bandwidth/FLOPs model of the template
+          problem) against the MEASURED per-dispatch latency (3 timed
+          no-op dispatches); waves must keep dispatch overhead < 25%.
+
+        For the highest solution quality at throughput-plan wall-clock
+        on high-latency links, compose waves with a final wide polish
+        dispatch by hand: ``w = sweep(..., plan='quality')`` then
+        ``sweep(..., x0_grid=w.x)``.
 
     Returns a :class:`SweepResult` with leading axis B.
     """
@@ -164,6 +276,19 @@ def sweep(method, prob: Problem, reg_name: str, sm, *,
     mu_grid = (jnp.broadcast_to(jnp.asarray(sm.mu, dt),
                                 (B,) + jnp.shape(sm.mu))
                if mu_grid is None else jnp.asarray(mu_grid, dt))
+
+    if plan is not None:
+        if plan not in ("throughput", "quality", "auto"):
+            raise ValueError(
+                f"plan={plan!r}: choose 'throughput' | 'quality' | 'auto'")
+        if path_waves:
+            raise ValueError("pass either plan= or path_waves=, not both")
+        if wave_max_epoch is not None:
+            raise ValueError("wave_max_epoch is chosen by the plan; pass "
+                             "path_waves= to control it by hand")
+        ndev = mesh.shape[batch_axis] if mesh is not None else 1
+        path_waves, wave_max_epoch = _resolve_plan(plan, prob, B, opts,
+                                                   ndev)
 
     if path_waves >= 2:
         if x0_grid is not None:

@@ -153,6 +153,80 @@ class TestSweep:
             np.testing.assert_allclose(res.obj[i], ref.obj[-1],
                                        rtol=1e-8, atol=1e-12)
 
+    def test_plan_throughput_matches_cold(self):
+        """plan='throughput' IS the cold one-dispatch sweep."""
+        prob = make_logreg(m=32, n=8)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        lam_grid = np.logspace(-3, 0, 8)
+        opts = scso.Options(max_epoch=100, verbose=0)
+        cold = sweep(scso.ProxNSCORE(), prob, "l1", sm,
+                     lam_grid=lam_grid, opts=opts)
+        planned = sweep(scso.ProxNSCORE(), prob, "l1", sm,
+                        lam_grid=lam_grid, opts=opts, plan="throughput")
+        np.testing.assert_array_equal(planned.x, cold.x)
+        np.testing.assert_array_equal(planned.epochs, cold.epochs)
+
+    def test_plan_quality_matches_explicit_waves(self):
+        """plan='quality' = waves with W = largest divisor of B in [2,16]
+        and warm cap max_epoch/4."""
+        prob = make_logreg(m=32, n=8)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        lam_grid = np.logspace(-3, 0, 8)
+        opts = scso.Options(max_epoch=300, verbose=0)
+        planned = sweep(scso.ProxNSCORE(), prob, "l1", sm,
+                        lam_grid=lam_grid, opts=opts, plan="quality")
+        explicit = sweep(scso.ProxNSCORE(), prob, "l1", sm,
+                         lam_grid=lam_grid, opts=opts, path_waves=8,
+                         wave_max_epoch=75)
+        np.testing.assert_array_equal(planned.x, explicit.x)
+        np.testing.assert_array_equal(planned.epochs, explicit.epochs)
+
+    def test_plan_auto_picks_a_valid_plan(self):
+        """plan='auto' resolves to throughput or quality (never crashes)
+        and still lands on the cold sweep's optima."""
+        prob = make_logreg(m=32, n=8)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        lam_grid = np.logspace(-3, 0, 8)
+        opts = scso.Options(max_epoch=300, verbose=0)
+        res = sweep(scso.ProxNSCORE(), prob, "l1", sm,
+                    lam_grid=lam_grid, opts=opts, plan="auto")
+        cold = sweep(scso.ProxNSCORE(), prob, "l1", sm,
+                     lam_grid=lam_grid, opts=opts)
+        np.testing.assert_allclose(res.x, cold.x, atol=1e-7)
+
+    def test_plan_resolution_rule(self):
+        """The auto rule follows the measured trade: huge per-wave
+        compute → waves; tiny compute or high dispatch latency → cold."""
+        from scso_tpu.parallel.sweep import _resolve_plan, \
+            _largest_wave_count
+        prob = make_logreg(m=32, n=8)
+        opts = scso.Options(max_epoch=300, verbose=0)
+        # tiny problem on CPU: one wave's estimated compute is far under
+        # 4x even a ~50 us dispatch → throughput
+        W, cap = _resolve_plan("auto", prob, 16, opts, 1)
+        assert W == 0
+        # quality always waves (with the divisibility constraints)
+        W, cap = _resolve_plan("quality", prob, 16, opts, 1)
+        assert W == 16 and cap == 75
+        # mesh divisibility: per-wave batch must divide the axis
+        assert _largest_wave_count(16, ndev=8) == 2  # Bw=8 divisible
+        assert _largest_wave_count(7) == 7
+        assert _largest_wave_count(13, cap=8) == 0  # prime > cap
+
+    def test_plan_arg_validation(self):
+        prob = make_logreg(m=32, n=8)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        lam_grid = np.logspace(-3, 0, 8)
+        with pytest.raises(ValueError, match="choose"):
+            sweep(scso.ProxNSCORE(), prob, "l1", sm, lam_grid=lam_grid,
+                  plan="fastest")
+        with pytest.raises(ValueError, match="not both"):
+            sweep(scso.ProxNSCORE(), prob, "l1", sm, lam_grid=lam_grid,
+                  plan="quality", path_waves=4)
+        with pytest.raises(ValueError, match="chosen by the plan"):
+            sweep(scso.ProxNSCORE(), prob, "l1", sm, lam_grid=lam_grid,
+                  plan="quality", wave_max_epoch=5)
+
     def test_path_waves_warm_start_helps(self):
         """Later waves inherit nearby solutions: total epochs over the
         path must drop vs cold all-at-once."""

@@ -26,7 +26,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from scso_tpu.problems import (
+    GLMSpec,
     Interval,
+    MOGLMSpec,
     Problem as CompositeProblem,
     ProblemLike,
     is_interval_set,
@@ -117,6 +119,8 @@ __all__ = [
     "CompositeProblem",
     "ProblemLike",
     "Interval",
+    "GLMSpec",
+    "MOGLMSpec",
     "is_interval_set",
     "make_problem",
     "iterate",

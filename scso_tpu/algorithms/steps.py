@@ -95,18 +95,20 @@ def _resolve_newton_solver(method, x) -> str:
 
 def _resolve_ggn_solver(method, prob, As, x) -> str:
     """'auto' → dense dual/primal (reference branch) or 'cg' when the
-    materialized Jacobian would exceed the m·n budget AND the matrix-free
-    pieces (glm spec or out_fn for jvp/vjp) exist."""
+    materialized Jacobian would exceed the m·ny·n budget AND the
+    matrix-free pieces (glm/mglm spec or out_fn for jvp/vjp) exist."""
     if method.solver != "auto":
         return method.solver
     if not (prob.has_data and getattr(As, "ndim", 0) == 2):
         return "auto"  # generic problems: keep the reference dense branch
     m, n = As.shape[0], x.shape[-1]
-    matrix_free_ok = prob.glm is not None or prob.out_fn is not None
-    if m * n > _DENSE_GGN_MAX_ELEMS and matrix_free_ok:
+    ny = prob.mglm.n_out if prob.mglm is not None else 1
+    matrix_free_ok = (prob.glm is not None or prob.mglm is not None
+                      or prob.out_fn is not None)
+    if m * ny * n > _DENSE_GGN_MAX_ELEMS and matrix_free_ok:
         _warn_once(
-            ("ggn-auto-cg", (m, n)),
-            f"ProxGGNSCORE(solver='auto'): J would be {m}x{n} "
+            ("ggn-auto-cg", (m, ny, n)),
+            f"ProxGGNSCORE(solver='auto'): J would be {m * ny}x{n} "
             f"(> {_DENSE_GGN_MAX_ELEMS} elements) — using matrix-free "
             "GGN-CG. Pass solver='dense_dual'/'dense_primal' to force a "
             "dense branch.",
@@ -254,10 +256,19 @@ def _greedy_prox_update(method, prob: Problem, reg_name, sm, As, ys,
     glm_ok = (prob.glm is not None
               and getattr(prob.glm, "loss_z", None) is not None
               and prob.has_data and getattr(As, "ndim", 0) == 2)
+    mglm_ok = (prob.mglm is not None
+               and getattr(prob.mglm, "loss_z", None) is not None
+               and prob.has_data and getattr(As, "ndim", 0) == 2)
     if glm_ok:
         z_x = As @ x if z is None else z
         F_x = prob.glm.loss_z(ys, z_x) + prob.reg(reg_name, x)
         F_t = prob.glm.loss_z(ys, As @ x_trial) + prob.reg(reg_name, x_trial)
+    elif mglm_ok:
+        k = int(prob.mglm.n_out)
+        Zf = lambda v: As @ v.reshape(v.shape[-1] // k, k)
+        F_x = prob.mglm.loss_z(ys, Zf(x)) + prob.reg(reg_name, x)
+        F_t = prob.mglm.loss_z(ys, Zf(x_trial)) + prob.reg(reg_name,
+                                                           x_trial)
     else:
         F_x = prob.f_val(As, ys, x) + prob.reg(reg_name, x)
         F_t = prob.f_val(As, ys, x_trial) + prob.reg(reg_name, x_trial)
@@ -400,6 +411,44 @@ def _weighted_system(method, As, x, w, lhr, prob: Problem = None):
     return mv, M_inv
 
 
+def _mo_glm_system(prob: Problem, As, ys, x, lhr):
+    """(Z, grad_vec, matvec, preconditioner) for a multi-output GLM
+    (``Problem.mglm``): Z = A·W computed ONCE (W = x.reshape(p, k)),
+    ∇f = vec(Aᵀ·gres(y, Z)), and each curvature matvec is two (m×p)·(p×k)
+    MXU matmuls around the per-sample k×k curvature action
+    mv(v) = vec(Aᵀ·quad(y, Z, A·V)) + λHr∘v — the dense (m·k)×n Jacobian
+    of the reference's augmented system (prox-GGN-SCORE.jl:114-135) is
+    never formed. Jacobi preconditioner from the curvature block
+    diagonals: diag ≈ Σᵢ qdiag_wᵢ·Aᵢⱼ² (exact for the diagonal part of
+    each block; the −ppᵀ off-diagonal part is dropped, keeping it SPD).
+    Row-sharded A partitions automatically under GSPMD (plain matmuls).
+    """
+    g = prob.mglm
+    k = int(g.n_out)
+    if k <= 0:
+        raise ValueError(
+            "MOGLMSpec.n_out must be a positive static class count "
+            "(build the spec per-k, e.g. losses.multinom_mglm(k))")
+    pf = x.shape[-1] // k
+    if pf * k != x.shape[-1]:
+        raise ValueError(
+            f"mglm: n = {x.shape[-1]} is not divisible by n_out = {k}")
+    W = x.reshape(pf, k)
+    Z = As @ W
+    grad_vec = (As.T @ g.gres(ys, Z)).reshape(-1)
+
+    def mv(v):
+        V = v.reshape(pf, k)
+        QU = g.quad(ys, Z, As @ V)
+        return (As.T @ QU).reshape(-1) + lhr * v
+
+    tiny = jnp.finfo(x.dtype).tiny
+    w = g.qdiag_w(ys, Z)
+    hdiag = jnp.einsum("ic,ij,ij->jc", w, As, As).reshape(-1) + lhr
+    M_inv = lambda v: v / jnp.maximum(hdiag, tiny)
+    return Z, grad_vec, mv, M_inv
+
+
 def _glm_cg_system(method, prob: Problem, As, ys, x, lhr, weight_fn,
                    hvp_fallback):
     """(matvec, preconditioner) for the CG solve — weight_fn variant
@@ -439,8 +488,18 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
 
     use_glm = (prob.glm is not None and prob.has_data
                and getattr(As, "ndim", 0) == 2 and solver == "cg")
+    use_mglm = (prob.mglm is not None and prob.has_data
+                and getattr(As, "ndim", 0) == 2 and solver == "cg")
     z_cache = None
-    if use_glm:
+    mo_mv = mo_Minv = None
+    if use_mglm:
+        # multi-output GLM: for a linear-in-x model with loss convex in
+        # Z = A·W, the GGN operator AᵀQA IS the Hessian — Newton-CG and
+        # GGN-CG share the _mo_glm_system matvec
+        _, grad_vec, mo_mv, mo_Minv = _mo_glm_system(
+            prob, As, ys, x, lam * Hr_diag)
+        gq = grad_vec + lgr
+    elif use_glm:
         # single data pass for the linear predictor; gradient residual,
         # Hessian weights and the Jacobi diagonal all derive from it
         z = As @ x
@@ -456,7 +515,9 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
         d = -jnp.linalg.solve(H + lam * jnp.diag(Hr_diag), gq)
     elif solver == "cg":
         lhr = lam * Hr_diag
-        if use_glm:
+        if use_mglm:
+            mv, M_inv = mo_mv, mo_Minv
+        elif use_glm:
             w = prob.glm.hvp_w(ys, z)
             mv, M_inv = _weighted_system(method, As, x, w, lhr, prob)
         else:
@@ -545,7 +606,15 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
     """
     z_cache = None
     lhr = lam * Hr_diag
-    if (prob.glm is not None and prob.has_data
+    if (prob.mglm is not None and prob.has_data
+            and getattr(As, "ndim", 0) == 2):
+        # multi-output GLM (vector outputs per sample): one Z = A·W pass,
+        # per-sample k×k curvature actions — the scalable replacement for
+        # the reference's materialized (m·k)×n augmented Jacobian
+        _, grad_vec, mv, M_inv = _mo_glm_system(prob, As, ys, x, lhr)
+        b = -(grad_vec + lam * gr)
+        mv_lp = None
+    elif (prob.glm is not None and prob.has_data
             and getattr(As, "ndim", 0) == 2):
         # single-z GLM path: z = A·x once; ŷ, J-diagonal, residual,
         # curvature and CG weights are elementwise in z. Prefer the

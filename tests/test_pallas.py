@@ -291,9 +291,12 @@ class TestMixedPrecision:
 
         prob = make_glm_problem(m=128, n=128)
         sm = scso.PHuberSmootherL1L2(1.0)
-        ref = scso.iterate(scso.ProxGGNSCORE(solver="cg"), prob, "l1", sm,
+        # fixed forcing: the comparison wants both runs driven to the
+        # same tight endgame, not the adaptive default's early stall
+        meth = scso.ProxGGNSCORE(solver="cg", cg_adaptive=False)
+        ref = scso.iterate(meth, prob, "l1", sm,
                            max_epoch=60, verbose=0)
-        mixed = iterate_mixed(scso.ProxGGNSCORE(solver="cg"), prob, "l1",
+        mixed = iterate_mixed(meth, prob, "l1",
                               sm, coarse_f_tol=1e-2, coarse_max_epoch=30,
                               max_epoch=60, verbose=0)
         # different trajectory (coarse start) → same minimum to ~1e-3

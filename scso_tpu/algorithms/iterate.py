@@ -171,7 +171,11 @@ def _stats(prob: Problem, reg_name: str, x, obj_star, x_tol, f_tol,
     obj = fval + prob.reg(reg_name, x)
     x_star = prob.x_star
     if reg_name == "gl":
-        rel = jnp.mean((x_star - x) ** 2)  # MSE (iterate.jl:194)
+        # MSE (iterate.jl:194); under feature padding normalize by the
+        # TRUE n so padded and unpadded runs report the same rel error
+        # (padded coords of x and x_star are both exactly 0)
+        n_eff = prob.n_true if prob.n_true is not None else x.shape[-1]
+        rel = jnp.sum((x_star - x) ** 2) / n_eff
     else:
         rel = jnp.maximum(
             jnp.linalg.norm(x - x_star)

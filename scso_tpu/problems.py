@@ -424,13 +424,32 @@ def make_problem(
                     "coordinates — a generic f(x) sees them as real "
                     "variables and silently optimizes over them"
                 )
-            if grp is not None or C_set is not None:
+            if C_set is not None:
                 raise ValueError(
-                    "pad_features supports l1/l2/no-prox problems only: "
-                    "padded coordinates stay exactly 0 through those prox "
-                    "ops, but group structure and box bounds would act on "
-                    "the padding"
+                    "pad_features cannot be combined with box bounds "
+                    "(C_set): the indbox prox clamps the padded "
+                    "coordinates into [lb, ub], making them nonzero real "
+                    "variables"
                 )
+            if grp is not None:
+                # grouped problems: pad with ONE dedicated zero-weight
+                # group. Zeros are exactly preserved end-to-end: the
+                # zero-padded A keeps gradient/CG-rhs pads at 0 (CG then
+                # preserves the zero pattern), the GL smoother's
+                # chain-rule grad/hess carry the element weight (0 on
+                # pads), and both prox stages map 0 -> 0 (soft-threshold
+                # of 0; group scaling of an all-zero group). Tested in
+                # tests/test_group_lasso_e2e.py.
+                from scso_tpu.ops.groups import make_groups
+
+                seg = np.asarray(grp.segment_ids)
+                seg_pad = np.concatenate(
+                    [seg, np.full((pad,), grp.n_groups, dtype=np.int32)])
+                w = np.asarray(grp.weights)
+                w_pad = np.concatenate([w, np.zeros((1,), dtype=w.dtype)])
+                grp = make_groups(seg_pad, w_pad,
+                                  n_groups=grp.n_groups + 1,
+                                  dtype=w.dtype)
             if mglm is not None:
                 raise ValueError(
                     "pad_features cannot be combined with mglm: padding "

@@ -69,6 +69,87 @@ def step_time(prob, method, sm, reps=20):  # noqa: D103
     return (time.perf_counter() - t0) / reps
 
 
+# ---------------------------------------------------------------------------
+# Analytic multi-host projection (real multi-chip unavailable here)
+# ---------------------------------------------------------------------------
+
+#: Model inputs — every number is either MEASURED in this repo (v5e, round
+#: 2/3 logs) or an explicitly stated ASSUMPTION about v5p hardware (no
+#: egress to verify datasheets from this environment; the conclusions are
+#: robust to large errors in the assumed numbers because the collective
+#: payload is ~6 orders of magnitude below the per-shard data traffic).
+PROJ_DEFAULTS = dict(
+    m=10_000_000,          # north-star rows (BASELINE.json:5)
+    n=10_048,              # north-star n=10^4 padded to a 128 multiple
+    itemsize=4,            # f32 data
+    # MEASURED (one v5e, round 2): fused normal-matvec reaches 94% of the
+    # 538 GB/s measured read ceiling = 66% of the 819 GB/s datasheet HBM
+    # bandwidth. Assume the same achievable fraction on v5p.
+    hbm_frac=0.66,
+    v5p_hbm_bw=2.765e12,   # ASSUMED v5p datasheet HBM bandwidth (B/s)
+    # MEASURED (round 2/3 bench logs, north-star shape): ~2 CG matvecs
+    # per epoch under EW forcing; each matvec streams A once; epoch prep
+    # (z + RHS + Jacobi diag, XLA-fused) ≈ 1 more pass; stats amortized
+    # to 1/4 pass at stats_every=4.
+    passes_per_epoch=3.25,
+    cg_iters_per_epoch=2.0,
+    # ASSUMED v5p ICI: effective all-reduce bus bandwidth per chip,
+    # deliberately far under the published multi-hundred-GB/s aggregate;
+    # latency per small collective.
+    ici_bw=1.0e11,         # B/s
+    ici_latency=10e-6,     # s
+    # ASSUMED DCN (cross-slice) for reference: ~25 GB/s per host,
+    # ~100 us collective latency.
+    dcn_bw=2.5e10,
+    dcn_latency=100e-6,
+)
+
+
+def project(devices: int, link: str = "ici", **over):
+    """Analytic weak-scaling efficiency for the row-sharded GGN-CG epoch.
+
+    Per epoch each chip streams its A shard `passes_per_epoch` times from
+    HBM (the measured per-shard cost model: time = bytes/(frac*BW)), and
+    the mesh runs `2 + cg_iters` all-reduces of one n-vector (the psum'd
+    partial sums: RHS, Jacobi diagonal, one per CG matvec) of 4n bytes.
+    All-reduce cost model: latency + 2*payload*(N-1)/N / bus_bw (ring).
+
+    Efficiency = t_compute / (t_compute + t_comm) — exact for the
+    non-overlapped schedule, a lower bound once comm_overlap_chunks > 1
+    hides the psum behind the next chunk's contraction.
+    """
+    p = dict(PROJ_DEFAULTS, **over)
+    shard_bytes = p["m"] * p["n"] * p["itemsize"] / devices
+    t_compute = (p["passes_per_epoch"] * shard_bytes
+                 / (p["hbm_frac"] * p["v5p_hbm_bw"]))
+    payload = 4 * p["n"]  # one f32 n-vector per psum
+    lat, bw = ((p["ici_latency"], p["ici_bw"]) if link == "ici"
+               else (p["dcn_latency"], p["dcn_bw"]))
+    n_coll = 2.0 + p["cg_iters_per_epoch"]
+    t_ar = lat + 2.0 * payload * (devices - 1) / devices / bw
+    t_comm = n_coll * t_ar
+    # comm_overlap_chunks wins once the hidden psum exceeds the extra
+    # launch overhead of splitting the 2nd contraction (~5 us/chunk
+    # measured dispatch-side on v5e); report the break-even.
+    overlap_break_even = t_ar > 5e-6
+    return dict(
+        devices=devices, link=link,
+        shard_gb=round(shard_bytes / 1e9, 2),
+        t_compute_ms=round(t_compute * 1e3, 3),
+        t_comm_us=round(t_comm * 1e6, 2),
+        psum_payload_kb=round(payload / 1e3, 1),
+        collectives_per_epoch=n_coll,
+        efficiency=round(t_compute / (t_compute + t_comm), 5),
+        overlap_chunks_help=bool(overlap_break_even),
+    )
+
+
+def projection_table(**over):
+    rows = [project(d, "ici", **over) for d in (4, 8, 16, 64, 256)]
+    rows += [project(d, "dcn", **over) for d in (16, 64)]
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows-per-device", type=int, default=8192)
@@ -76,7 +157,27 @@ def main():
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--json-out", type=str, default=None,
                     help="write the results list to this JSON file")
+    ap.add_argument("--project", action="store_true",
+                    help="print the analytic v5p multi-host projection "
+                         "instead of measuring (no hardware needed)")
     args = ap.parse_args()
+
+    if args.project:
+        rows = projection_table()
+        print(json.dumps(dict(model_inputs=PROJ_DEFAULTS), indent=1))
+        print("\ndevices link  shard_GB  t_comp_ms  t_comm_us  efficiency"
+              "  overlap_helps")
+        for r in rows:
+            print(f"{r['devices']:7d} {r['link']:>4}  {r['shard_gb']:8.2f}"
+                  f"  {r['t_compute_ms']:9.3f}  {r['t_comm_us']:9.2f}"
+                  f"  {r['efficiency']:10.3%}  {r['overlap_chunks_help']}")
+        if args.json_out:
+            with open(args.json_out, "w") as fh:
+                json.dump(dict(metric="ggn_cg_v5p_projection",
+                               model_inputs=PROJ_DEFAULTS, results=rows),
+                          fh, indent=1)
+            print(f"wrote {args.json_out}")
+        return rows
 
     devs = jax.devices()
     counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= len(devs)]

@@ -5,7 +5,17 @@ ProxGGNSCORE with matrix-free GGN-CG (warm-started, Jacobi-preconditioned,
 fused Pallas matvec) + PHuber smoothing + l1 prox on an m×n sparse-design
 logistic regression.
 
-Honest metric protocol:
+THE PRIMARY CONFIG IS THE NORTH-STAR SHAPE (since round 3): m=196608,
+n=10000 (BASELINE.json:5 names 10⁷×10⁴; the 10⁷-row data matrix is 400 GB
+— 25× one v5e's HBM — so the single-chip artifact runs the same n=10⁴
+column geometry at the largest row count that fits, ~8 GiB, and the
+multi-chip path extrapolates rows linearly: docs/STATUS.md scale-linearity
+row + the v5p-16 projection). n=10⁴ is deliberately RAGGED — pad_features
+pads it to 10112 so the fused kernels engage. The round-2 legacy config
+(524288×1024) is reported alongside as `secondary` for trajectory
+comparability across rounds.
+
+Honest metric protocol (per config):
   1. PRESOLVE to the true optimum by chaining warm-started solves until
      the objective stops improving (the chain reuses ONE compiled
      program — only traced leaves change — because fresh XLA programs
@@ -19,6 +29,17 @@ wall-clock budget of 10 s (BASELINE.json: 1e-6 gap in < 10 s):
 vs_baseline = 10 / value, i.e. > 1.0 means inside budget.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Env overrides (single-config mode — setting BENCH_M or BENCH_N skips the
+two-config default and runs exactly one configuration):
+  BENCH_M / BENCH_N / BENCH_PAD — problem shape / feature padding
+  BENCH_ADAPTIVE=1  — EW adaptive CG forcing (measured 120 vs 41 epochs
+                      at the north-star shape — kept opt-in)
+  BENCH_GREEDY=0    — disable greedy SCORE damping (reference-damped)
+  BENCH_LP=1        — precision-adaptive CG (bf16 curvature copy)
+  BENCH_CURV_ROWS=K — subsampled-curvature CG
+  BENCH_MIXED=1     — bf16 coarse phase + f32 finish
+  BENCH_FUSED_PREP=1 — single-pass Pallas GLM epoch prep
 """
 
 from __future__ import annotations
@@ -58,43 +79,14 @@ from scso_tpu.ops.lbfgs_core import init_memory
 from scso_tpu.models import losses, synthetic
 from scso_tpu._src.struct import replace as dc_replace
 
-# CPU fallback shrinks the default rows 8x: the full 524288x1024 bench
-# takes hours on 4 host cores vs <1 min on one v5e; the JSON marks the
-# device either way. Explicit BENCH_M always wins.
-_default_m = (1 << 19) if jax.default_backend() == "tpu" else (1 << 16)
-M = int(os.environ.get("BENCH_M", _default_m))
-N = int(os.environ.get("BENCH_N", 1024))
-# BENCH_PAD=1: zero-pad ragged n to a 128 multiple at problem build so the
-# fused kernels engage (the north-star n = 10^4 is not a 128 multiple)
-PAD = bool(int(os.environ.get("BENCH_PAD", "0")))
-# BENCH_ADAPTIVE=1: Eisenstat-Walker step-length forcing instead of the
-# fixed 3e-4 cg_tol
-ADAPTIVE = bool(int(os.environ.get("BENCH_ADAPTIVE", "0")))
-# BENCH_LP=1: precision-adaptive CG — attach a bf16 copy of A and run
-# loose-forcing epochs' curvature matvecs on it; +A.nbytes/2 HBM.
-# Implies BENCH_ADAPTIVE: with the fixed 3e-4 forcing no epoch is ever
-# "loose" and the lp path would silently never engage.
-LP = bool(int(os.environ.get("BENCH_LP", "0")))
-if LP and not ADAPTIVE:
-    print("bench: BENCH_LP=1 implies BENCH_ADAPTIVE=1 (fixed forcing "
-          "never engages the lp path)", file=sys.stderr)
-    ADAPTIVE = True
-# BENCH_CURV_ROWS=K: subsampled-curvature CG (exact RHS, strided K-row
-# GGN estimate — each CG matvec streams K/M of the data); keep K >> N
-CURV_ROWS = int(os.environ.get("BENCH_CURV_ROWS", "0"))
-# BENCH_GREEDY=1: greedy SCORE damping — trial the undamped prox step,
-# accept on strict composite-objective decrease, damped fallback
-# (methods' greedy_alpha; measured ~2x fewer epochs at n = 10^4)
-GREEDY = bool(int(os.environ.get("BENCH_GREEDY", "0")))
-# BENCH_FUSED_PREP=1: single-pass Pallas GLM epoch prep (z + RHS + Jacobi
-# diag in one A read) instead of XLA's three fused passes
-FUSED_PREP = bool(int(os.environ.get("BENCH_FUSED_PREP", "0")))
 SEED = 7
 CHUNK = 60            # epochs per compiled chunk (ONE program for all)
 GAP = 1e-6
 
+_flag = lambda name, default: bool(int(os.environ.get(name, default)))
 
-def build_problem(sol=None):
+
+def build_problem(M, N, pad, sol=None):
     # 0/1 labels: the coding the GGN cross-entropy pieces are derived for
     # (the reference's ±1-into-0/1 quirk makes Q indefinite — losses.py)
     A, y, x0, _ = synthetic.make_sparse_logreg_data(
@@ -112,20 +104,27 @@ def build_problem(sol=None):
         glm=losses.LOGISTIC01_GLM,
         sol=sol,
         dtype=np.float32,
-        pad_features=PAD,
+        pad_features=pad,
     )
 
 
-def main():
-    # cg_tol=3e-4: inexact-Newton forcing — epochs-to-gap is UNCHANGED down
-    # to ~3e-4 while CG iterations drop ~45% (knee measured on the gap-
-    # anchored CPU protocol; 1e-3 starts costing epochs)
-    method = scso.ProxGGNSCORE(solver="cg", cg_tol=3e-4, cg_maxiter=100,
-                               cg_adaptive=ADAPTIVE,
-                               cg_lp_tol=(1e-2 if LP else 0.0),
-                               curvature_rows=CURV_ROWS,
-                               greedy_alpha=GREEDY,
-                               use_fused_prep=FUSED_PREP)
+def make_method(adaptive, greedy, lp, curv_rows, fused_prep):
+    # cg_tol=0.0 = AUTO sqrt(eps(f32)) ≈ 3.4e-4: the measured
+    # inexact-Newton knee (epochs-to-gap UNCHANGED down to ~3e-4, CG
+    # iterations ~45% lower) — and exactly the library default, so the
+    # benchmarked solver IS the no-knob ProxGGNSCORE(solver='cg')
+    # (round-2 verdict Weak #1). cg_maxiter=100 is a safety cap only
+    # (warm-started CG exits at the forcing tolerance far earlier).
+    return scso.ProxGGNSCORE(solver="cg", cg_maxiter=100,
+                             cg_adaptive=adaptive,
+                             cg_lp_tol=(1e-2 if lp else 0.0),
+                             curvature_rows=curv_rows,
+                             greedy_alpha=greedy,
+                             use_fused_prep=fused_prep)
+
+
+def run_config(M, N, pad, method, use_mixed=False):
+    """Presolve + timed protocol for one configuration; returns a dict."""
     sm = scso.PHuberSmootherL1L2(1.0)
     # stats_every=4: the per-epoch stats pass (full-data fval) is ~half
     # the epoch cost; amortizing it trades ≤3 extra epochs at stop time.
@@ -133,13 +132,12 @@ def main():
     # on this problem family (SCORE damping alone suffices for GGN here).
     solve_kw = dict(x_tol=1e-12, f_tol=GAP, max_epoch=CHUNK, verbose=0,
                     stats_every=4, alpha=1.0)
-
     run = lambda p: scso.iterate(method, p, "l1", sm, **solve_kw)
 
-    # --- presolve: chain warm-started chunks to the true optimum ----------
+    # --- presolve: chain warm-started chunks to the true optimum --------
     # x_star=0 ⇒ the f_tol gap criterion cannot fire (obj* = log 2 ≫ gap)
-    prob = build_problem()
-    if LP:
+    prob = build_problem(M, N, pad)
+    if method.cg_lp_tol > 0:
         prob = scso.with_lp_copy(prob)
     cur = prob
     best = np.inf
@@ -147,7 +145,7 @@ def main():
     for _ in range(12):  # ≤ 720 epochs
         s = run(cur)
         # terminal fixed point anchors the gap target; state.x keeps the
-        # on-device (and, under BENCH_PAD, padded) vector — Solution.x is
+        # on-device (and, under padding, padded) vector — Solution.x is
         # sliced back to n_true and would shape-mismatch the padded prob
         x_opt = s.state.x
         if s.obj[-1] >= best * (1 - 1e-7):
@@ -155,18 +153,16 @@ def main():
         best = s.obj[-1]
         cur = dc_replace(cur, x0=x_opt)
 
-    # --- timed: fresh solves vs the optimum, chained until gap fires ------
+    # --- timed: fresh solves vs the optimum, chained until gap fires ----
     prob_t = dc_replace(prob, x_star=jnp.asarray(x_opt))
     run(prob_t)  # warm-up (program is compiled; this warms dispatch)
 
-    use_mixed = bool(int(os.environ.get("BENCH_MIXED", "0")))
     coarse_prob = None
     if use_mixed:
-        # bf16 coarse phase: A stored narrow (≈3× cheaper matvecs — one
-        # native-bf16 MXU pass instead of three 'highest'-precision f32
-        # passes), down to a coarse gap, then f32 chunks finish to 1e-6.
-        coarse_prob = dc_replace(
-            prob_t, A=prob_t.A.astype(jnp.bfloat16))
+        # bf16 coarse phase: A stored narrow (≈3× cheaper matvecs), down
+        # to a coarse gap, then f32 chunks finish to 1e-6. Measured
+        # SLOWER on this family (docs/STATUS.md) — kept as an env knob.
+        coarse_prob = dc_replace(prob_t, A=prob_t.A.astype(jnp.bfloat16))
         run_coarse = lambda p: scso.iterate(
             method, p, "l1", sm, x_tol=1e-12, f_tol=3e-3, max_epoch=CHUNK,
             verbose=0, stats_every=4)
@@ -209,12 +205,12 @@ def main():
         prev_gap = gap_now
         cur = dc_replace(cur, x0=s.state.x)
     gap = float(s.objrel[-1])
-    iters_per_s = epochs / t_solve
 
     # --- GGN-CG step latency ---------------------------------------------
-    # NOTE: prob must be a jit ARGUMENT — closing over it bakes the 2 GiB
-    # data matrix into the HLO as a constant and chokes compilation.
-    mem = init_memory(N, 1, np.float32)
+    # NOTE: prob must be a jit ARGUMENT — closing over it bakes the
+    # multi-GiB data matrix into the HLO as a constant and chokes compiles.
+    n_pad = int(prob.x0.shape[-1])
+    mem = init_memory(n_pad, 1, np.float32)
 
     @jax.jit
     def step(p, x):
@@ -230,37 +226,82 @@ def main():
     jax.block_until_ready(x)
     ms_per_step = (time.perf_counter() - t0) / n_rep * 1e3
 
-    # fused-kernel engagement: on TPU the hot path MUST have routed through
-    # the Pallas kernels (round-1 regression: n % 128 != 0 silently fell
-    # back to the two-matmul path and nobody measured what they thought)
+    cfg = (f"{M}x{N}" + ("(pad)" if pad else "") + " "
+           + ("bf16+f32 mixed" if use_mixed else "f32")
+           + ("+EWforcing" if method.cg_adaptive else "")
+           + ("+greedy" if method.greedy_alpha else "")
+           + ("+lpCG" if method.cg_lp_tol > 0 else "")
+           + (f"+curv{method.curvature_rows}" if method.curvature_rows
+              else "")
+           + ", ProxGGNSCORE(cg), PHuberL1L2(mu=1)")
+    return dict(
+        value=round(t_solve, 4),
+        config=cfg,
+        epochs=int(epochs),
+        iters_per_s=round(epochs / t_solve, 2),
+        ggn_cg_step_ms=round(ms_per_step, 2),
+        total_cg_iters=int(cg_total),
+        final_rel_obj_gap=gap,
+    )
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    env_shape = "BENCH_M" in os.environ or "BENCH_N" in os.environ
+
+    # defaults = the measured-best config = the library defaults:
+    # greedy SCORE damping ON, fixed AUTO forcing (EW adaptive measured
+    # 120 vs 41 epochs at the north-star shape — docs/STATUS.md)
+    adaptive = _flag("BENCH_ADAPTIVE", "0")
+    greedy = _flag("BENCH_GREEDY", "1")
+    lp = _flag("BENCH_LP", "0")
+    curv = int(os.environ.get("BENCH_CURV_ROWS", "0"))
+    fused_prep = _flag("BENCH_FUSED_PREP", "0")
+    mixed = _flag("BENCH_MIXED", "0")
+    if lp and not adaptive:
+        print("bench: BENCH_LP=1 implies BENCH_ADAPTIVE=1 (fixed forcing "
+              "never engages the lp path)", file=sys.stderr)
+        adaptive = True
+    method = make_method(adaptive, greedy, lp, curv, fused_prep)
+
+    if env_shape or not on_tpu:
+        # single-config mode: explicit shape, or the CPU fallback (the
+        # full configs take hours on 4 host cores; the JSON marks the
+        # device either way)
+        M = int(os.environ.get("BENCH_M",
+                               (1 << 19) if on_tpu else (1 << 16)))
+        N = int(os.environ.get("BENCH_N", 1024))
+        pad = _flag("BENCH_PAD", "0")
+        res = run_config(M, N, pad, method, use_mixed=mixed)
+        out = dict(metric="sparse_logreg_time_to_1e-6_obj_gap",
+                   unit="s", vs_baseline=round(10.0 / res["value"], 2),
+                   **res)
+    else:
+        # two-config TPU default: north-star shape PRIMARY (round-2
+        # verdict Next #1), round-2 legacy shape as secondary
+        primary = run_config(196608, 10000, True, method, use_mixed=mixed)
+        secondary = run_config(1 << 19, 1024, False, method,
+                               use_mixed=mixed)
+        out = dict(metric="sparse_logreg_time_to_1e-6_obj_gap_northstar",
+                   unit="s",
+                   vs_baseline=round(10.0 / primary["value"], 2),
+                   **primary,
+                   secondary_524288x1024=secondary)
+
+    # fused-kernel engagement: on TPU the hot path MUST have routed
+    # through the Pallas kernels (round-1 regression: n % 128 != 0
+    # silently fell back to the two-matmul path and nobody measured what
+    # they thought)
     from scso_tpu.ops.pallas.counters import KERNEL_HITS
-    if jax.default_backend() == "tpu":
+    if on_tpu:
         assert KERNEL_HITS["fused_normal_matvec"] > 0, (
-            f"fused matvec never engaged at {M}x{prob.A.shape[1]} — "
-            "shape fell back to the XLA path; fix the shape or pad")
+            "fused matvec never engaged — shape fell back to the XLA "
+            "path; fix the shape or pad")
         assert KERNEL_HITS["fused_score_update"] > 0, (
             "fused SCORE update never engaged")
-
-    print(json.dumps({
-        "metric": "sparse_logreg_time_to_1e-6_obj_gap",
-        "value": round(t_solve, 4),
-        "unit": "s",
-        "vs_baseline": round(10.0 / t_solve, 2),
-        "config": (f"{M}x{N}" + ("(pad)" if PAD else "") + " "
-                   + ("bf16+f32 mixed" if use_mixed else "f32")
-                   + ("+EWforcing" if ADAPTIVE else "")
-                   + ("+greedy" if GREEDY else "")
-                   + ("+lpCG" if LP else "")
-                   + (f"+curv{CURV_ROWS}" if CURV_ROWS else "")
-                   + ", ProxGGNSCORE(cg), PHuberL1L2(mu=1)"),
-        "device": jax.devices()[0].device_kind,
-        "epochs": int(epochs),
-        "iters_per_s": round(iters_per_s, 2),
-        "ggn_cg_step_ms": round(ms_per_step, 2),
-        "total_cg_iters": int(cg_total),
-        "final_rel_obj_gap": gap,
-        "fused_kernel_hits": dict(KERNEL_HITS),
-    }))
+    out["device"] = jax.devices()[0].device_kind
+    out["fused_kernel_hits"] = dict(KERNEL_HITS)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,156 @@
+"""BASELINE config-3 at bench scale: sparse-group-lasso λ-path on TPU.
+
+Round-2 verdict Weak #4: no GL datapoint at TPU scale existed (GL
+tests/benches were ≤ 2048×512). This runs the reference's sparse-group-
+lasso family (README.md:190-246, least-squares loss + 'gl' regularizer +
+PHuber GL smoothing) at bench scale — m = 262144 rows, n = 4000 features
+(RAGGED on purpose: `pad_features` pads to 4096 with a zero-weight pad
+group so the fused data-matvec kernel engages), 250 groups of 16 — over
+a descending λ2 path of 8 values, warm-starting each solve from the
+previous one (glmnet-style; ONE compiled program, 8 dispatches).
+
+It also settles the fused-tail question for 'gl' with a measurement
+(the verdict's accepted alternative to writing a segment-aware Pallas
+kernel): the XLA group-lasso tail (smoother grad/hess + two-stage prox,
+all n-vector work) is timed against the full GGN-CG step. At n ≈ 4k the
+tail is microseconds vs a step dominated by m×n data passes — recorded
+as tail_pct in the output.
+
+Run: python benchmarks/gl_path_tpu.py [--m 262144] [--n 4000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+try:
+    _HERE = os.path.dirname(os.path.abspath(__file__))
+except NameError:
+    _HERE = os.path.join(os.getcwd(), "benchmarks")
+sys.path.insert(0, os.path.dirname(_HERE))
+
+from scso_tpu.utils.backend import select_backend  # noqa: E402
+
+select_backend()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_default_matmul_precision", "highest")
+if jax.default_backend() == "tpu":
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import scso_tpu as scso
+from scso_tpu.models import losses, synthetic
+from scso_tpu.ops.groups import group_norms
+from scso_tpu.ops.prox import prox_step
+from scso_tpu._src.struct import replace as dc_replace
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=262144)
+    ap.add_argument("--n", type=int, default=4000)
+    ap.add_argument("--grpsize", type=int, default=16)
+    ap.add_argument("--path", type=int, default=8)
+    ap.add_argument("--max-epoch", type=int, default=60)
+    args = ap.parse_args()
+
+    A, y, x_true, x0, groups = synthetic.make_group_lasso_problem(
+        args.m, args.n, args.grpsize, p_active=0.1, noise_std=0.1,
+        seed=1234, dtype=np.float32)
+    lam2_grid = np.logspace(-1, -4, args.path).astype(np.float32)
+
+    prob = scso.Problem(
+        A, y, x0, losses.lsq_f, [1e-8, float(lam2_grid[0])],
+        grad_fx=losses.lsq_grad, out_fn=losses.linear_out,
+        loss_fn=losses.lsq_loss, grad_fy=losses.lsq_ggn_residual,
+        hess_fy_diag=losses.lsq_ggn_qdiag, glm=losses.LSQ_GLM,
+        sol=x_true, groups=groups, dtype=np.float32, pad_features=True)
+    n_pad = prob.x0.shape[-1]
+    method = scso.ProxGGNSCORE(solver="cg", cg_maxiter=100)  # r3 defaults
+    solve_kw = dict(x_tol=1e-8, f_tol=0.0, max_epoch=args.max_epoch,
+                    verbose=0, alpha=1.0, stats_every=4)
+
+    run = lambda p: scso.iterate(method, p, "gl",
+                                 scso.PHuberSmootherGL(1e-2, p), **solve_kw)
+
+    run(prob)  # compile + warm
+    t0 = time.perf_counter()
+    cur = prob
+    per_lam = []
+    for lam2 in lam2_grid:
+        cur = dc_replace(cur, lam=jnp.asarray([1e-8, float(lam2)],
+                                              jnp.float32))
+        s = run(cur)
+        gn = np.asarray(group_norms(cur.groups, jnp.asarray(s.state.x)))
+        per_lam.append(dict(
+            lam2=float(lam2), epochs=int(s.epochs),
+            rel_mse=float(s.rel[-1]),
+            active_groups=int(np.sum(gn[:-1] > 1e-5)),  # excl. pad group
+        ))
+        cur = dc_replace(cur, x0=s.state.x)
+    t_path = time.perf_counter() - t0
+
+    # ---- GL tail vs full step (the fused-tail measured decision) -------
+    lam = jnp.asarray([1e-8, 1e-2], jnp.float32)
+    sm = scso.PHuberSmootherGL(1e-2, prob)
+    cw = prob.groups.element_weights
+
+    @jax.jit
+    def gl_tail(x, d):
+        gr = sm.grad(x, cw)
+        hr = sm.hess_diag(x, cw)
+        xs = x + 0.5 * d
+        return prox_step("gl", xs, 1.0 / hr, lam, 0.5, groups=prob.groups)
+
+    from scso_tpu.algorithms.steps import ggn_step
+    from scso_tpu.ops.lbfgs_core import init_memory
+    mem = init_memory(n_pad, 1, np.float32)
+
+    @jax.jit
+    def step(p, x):
+        return ggn_step(method, p, "gl", sm, p.A, p.y, x, x,
+                        jnp.zeros_like(x), jnp.int32(2), mem).x_new
+
+    x = jnp.asarray(prob.x0)
+    d = jnp.ones_like(x)
+    jax.block_until_ready(gl_tail(x, d))
+    jax.block_until_ready(step(prob, x))
+
+    def bench(fn, *a, reps=30):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps
+
+    t_tail = bench(gl_tail, x, d)
+    t_step = bench(step, prob, x, reps=10)
+
+    from scso_tpu.ops.pallas.counters import KERNEL_HITS
+    out = dict(
+        metric="group_lasso_lambda_path",
+        device=jax.devices()[0].device_kind,
+        m=args.m, n=args.n, n_padded=int(n_pad),
+        grpsize=args.grpsize, path_points=args.path,
+        path_wall_s=round(t_path, 3),
+        per_lam=per_lam,
+        gl_tail_ms=round(t_tail * 1e3, 4),
+        ggn_step_ms=round(t_step * 1e3, 3),
+        tail_pct=round(100 * t_tail / t_step, 3),
+        fused_kernel_hits=dict(KERNEL_HITS),
+    )
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

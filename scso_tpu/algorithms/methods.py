@@ -10,6 +10,7 @@ Julia method specialization did.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 
 #: ``kernels`` values (all methods):
@@ -42,7 +43,7 @@ class ProxNSCORE:
     #: explicitly to override.
     cg_tol: float = 0.0
     cg_maxiter: int = 250
-    #: Eisenstat-Walker-style adaptive CG forcing (DEFAULT ON): per-epoch
+    #: Eisenstat-Walker-style adaptive CG forcing (opt-in): per-epoch
     #: relative tolerance eta_k = clip(0.9*(s_k/s_ref)^2, cg_tol, 0.1)
     #: where s_k = ||x_k - x_{k-1}|| and s_ref is the FIRST step length —
     #: loose while the outer iterates move a lot, tightening
@@ -50,10 +51,12 @@ class ProxNSCORE:
     #: (Step length, not the classic gradient/rhs-norm ratio: the
     #: smoothed composite gradient does not vanish at the damped-prox
     #: fixed point, so rhs-based variants plateau — steps._forcing_tol.)
-    #: On by default since round 3: the no-knob solver must converge
-    #: like the benchmarked one (round-2 verdict), and EW forcing is
-    #: never worse than the fixed floor by more than a few early epochs.
-    cg_adaptive: bool = True
+    #: NOT the default: measured at the north-star bench shape
+    #: (196608×10⁴), the loose early directions it produces negate the
+    #: greedy-α epoch savings (120 epochs vs 41 with the fixed auto
+    #: floor — docs/STATUS.md round-3 notes); the AUTO sqrt(eps) cg_tol
+    #: already encodes the measured forcing knee.
+    cg_adaptive: bool = False
     #: greedy SCORE damping: per epoch, trial the UNDAMPED prox step
     #: (α = 1) and accept it iff the true composite objective f + g
     #: strictly decreases; otherwise take the SCORE-damped step (the
@@ -62,11 +65,21 @@ class ProxNSCORE:
     #: α ≈ 0.06 for the first ~40 epochs at n = 10⁴ — 2-3× the epochs);
     #: the greedy trial takes full steps there and falls back to damped
     #: exactly where damping is the right rate (near the fixed point,
-    #: where the full prox step stops decreasing F). Costs one extra
-    #: objective evaluation per epoch (one data pass; GLM problems with
-    #: loss_z reuse the step's linear predictor for F(x)). NaN-safe: a
-    #: diverging trial fails the strict-decrease test and is discarded.
-    greedy_alpha: bool = False
+    #: where the full prox step stops decreasing F). Measured at the
+    #: north-star bench shape: 41 epochs / 2.71 s vs 120 / 6.70 s
+    #: damped-only. Costs one extra objective evaluation per epoch (one
+    #: data pass; GLM problems with loss_z reuse the step's linear
+    #: predictor for F(x)). NaN-safe: a diverging trial fails the strict
+    #: -decrease test and is discarded.
+    #:
+    #: DEFAULT None = AUTO: on for ss_type=1 (the default scheme, where
+    #: the win is measured), off for ss_type 2/3 — the greedy full prox
+    #: step can land EXACTLY on an l1 kink, where the Armijo fallback's
+    #: smooth-slope test (ss_type=3) collapses α and freezes the
+    #: iteration short of the optimum (observed on the reference oracle
+    #: fixture). Explicit True/False always wins; False gives exact
+    #: reference-trajectory parity (fixed points unchanged either way).
+    greedy_alpha: Optional[bool] = None
     #: >1 splits the row-sharded CG matvec's second contraction into
     #: output-column chunks whose psums overlap the next chunk's compute
     #: (XLA async collectives) — for DCN-scale meshes with large n; the
@@ -106,11 +119,12 @@ class ProxGGNSCORE:
     #: CG forcing floor; 0.0 = AUTO sqrt(eps(dtype)) — see ProxNSCORE.cg_tol
     cg_tol: float = 0.0
     cg_maxiter: int = 250
-    #: Eisenstat-Walker adaptive CG forcing (DEFAULT ON) — see
-    #: ProxNSCORE.cg_adaptive
-    cg_adaptive: bool = True
-    #: greedy SCORE damping — see ProxNSCORE.greedy_alpha
-    greedy_alpha: bool = False
+    #: Eisenstat-Walker adaptive CG forcing (opt-in) — see
+    #: ProxNSCORE.cg_adaptive for why it is not the default
+    cg_adaptive: bool = False
+    #: greedy SCORE damping; None = AUTO (on for ss_type=1 — the
+    #: measured-best bench config; see ProxNSCORE.greedy_alpha)
+    greedy_alpha: Optional[bool] = None
     #: precision-adaptive CG (opt-in, needs Problem.A_lp — see
     #: algorithms.mixed.with_lp_copy): epochs whose CG forcing tolerance
     #: is >= cg_lp_tol run their curvature matvecs on the low-precision
@@ -159,7 +173,8 @@ class ProxLQNSCORE:
     m: int = 10
     #: greedy SCORE damping — see ProxNSCORE.greedy_alpha. Note the
     #: L-BFGS direction is not Newton-quality; expect more rejected
-    #: trials (each costs a data pass) than with Newton/GGN.
+    #: trials (each costs a data pass) than with Newton/GGN — stays
+    #: OFF by default (None on the Newton-quality methods = AUTO-on).
     greedy_alpha: bool = False
     kernels: str = "auto"
     name: str = "prox-lbfgsscore"

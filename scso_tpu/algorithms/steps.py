@@ -279,10 +279,20 @@ def _greedy_prox_update(method, prob: Problem, reg_name, sm, As, ys,
     return x_new, pri, dx
 
 
+def use_greedy(method) -> bool:
+    """Resolve greedy_alpha None = AUTO: on for ss_type=1 only (the
+    measured win; ss_type=3's Armijo can freeze at the l1 kinks the
+    greedy full prox step lands on — methods.ProxNSCORE.greedy_alpha)."""
+    g = getattr(method, "greedy_alpha", False)
+    if g is None:
+        return method.ss_type == 1
+    return bool(g)
+
+
 def _apply_update(method, prob: Problem, reg_name, sm, As, ys, x, d,
                   step_size, lam, lgr, Hr_diag, z=None):
     """Damped-prox tail, greedy variant when ``method.greedy_alpha``."""
-    if getattr(method, "greedy_alpha", False):
+    if use_greedy(method):
         return _greedy_prox_update(method, prob, reg_name, sm, As, ys,
                                    x, d, step_size, lam, lgr, Hr_diag, z)
     return _damped_prox_update(method, prob, reg_name, sm, x, d,

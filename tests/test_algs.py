@@ -521,10 +521,14 @@ class TestAdaptiveForcing:
         prob = self._prob()
         sm = scso.PHuberSmootherL1L2(1.0)
         kw = dict(max_epoch=200, f_tol=1e-9, verbose=0, alpha=1.0)
-        fixed = scso.iterate(make_method(cg_adaptive=False), prob, "l1",
-                             sm, **kw)
-        adapt = scso.iterate(make_method(cg_adaptive=True), prob, "l1",
-                             sm, **kw)
+        # greedy off on both sides: this test isolates the CG FORCING
+        # comparison (fixed vs Eisenstat-Walker) on the damped iteration
+        fixed = scso.iterate(
+            make_method(cg_adaptive=False, greedy_alpha=False), prob,
+            "l1", sm, **kw)
+        adapt = scso.iterate(
+            make_method(cg_adaptive=True, greedy_alpha=False), prob,
+            "l1", sm, **kw)
         np.testing.assert_allclose(adapt.obj[-1], fixed.obj[-1], rtol=1e-7)
         np.testing.assert_allclose(adapt.x, fixed.x, atol=1e-5)
         assert (adapt.cg_info["total_cg_iters"]

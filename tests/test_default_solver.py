@@ -3,10 +3,13 @@
 Round 2 shipped `ProxGGNSCORE()` defaulting to a fixed over-tight CG
 tolerance (1e-8) — exactly the configuration behind round 1's 720-epoch
 stall — while the headline bench hand-picked cg_tol=3e-4. Since round 3
-the defaults are `cg_adaptive=True` + `cg_tol=0.0` (AUTO =
-sqrt(eps(dtype)): ~3.4e-4 in f32, the measured bench knee; ~1.5e-8 in
-f64). These tests pin that contract: a user calling the documented API
-with no knobs must converge like the bench, not many times slower.
+the defaults are the MEASURED-BEST bench config: `cg_tol=0.0` (AUTO =
+sqrt(eps(dtype)): ~3.4e-4 in f32, the measured forcing knee; ~1.5e-8 in
+f64), `greedy_alpha=True` for the Newton-quality methods (41 vs 120
+epochs at the north-star shape), and `cg_adaptive=False` (EW forcing
+measured to negate the greedy gains at scale — docs/STATUS.md). These
+tests pin that contract: a user calling the documented API with no
+knobs must converge like the bench, not many times slower.
 """
 
 import numpy as np
@@ -36,9 +39,26 @@ class TestAutoTol:
         assert np.isclose(_cg_tol(m, np.float32),
                           4.0 * float(np.finfo(np.float32).eps))
 
-    def test_adaptive_default_on(self):
-        assert scso.ProxGGNSCORE().cg_adaptive
-        assert scso.ProxNSCORE().cg_adaptive
+    def test_measured_best_defaults(self):
+        """The no-knob config IS the benchmarked config: greedy SCORE
+        damping auto-on (ss_type=1), fixed AUTO forcing (EW adaptive
+        measured 120 vs 41 epochs at the north-star shape —
+        docs/STATUS.md round 3)."""
+        from scso_tpu.algorithms.steps import use_greedy
+
+        for m in (scso.ProxGGNSCORE(), scso.ProxNSCORE()):
+            assert use_greedy(m)           # AUTO: on for ss_type=1
+            assert not m.cg_adaptive
+            assert m.cg_tol == 0.0         # AUTO sqrt(eps)
+        # AUTO turns greedy OFF for ss_type 2/3 (Armijo can freeze at
+        # the l1 kinks the full prox step lands on) …
+        assert not use_greedy(scso.ProxNSCORE(ss_type=3))
+        assert not use_greedy(scso.ProxGGNSCORE(ss_type=2))
+        # … but an explicit setting always wins
+        assert use_greedy(scso.ProxNSCORE(ss_type=3, greedy_alpha=True))
+        assert not use_greedy(scso.ProxNSCORE(greedy_alpha=False))
+        # L-BFGS directions are not Newton-quality; greedy stays opt-in
+        assert not use_greedy(scso.ProxLQNSCORE())
 
 
 class TestNoKnobMatchesBench:
@@ -49,9 +69,11 @@ class TestNoKnobMatchesBench:
         logistic regression."""
         sm = scso.PHuberSmootherL1L2(1.0)
         anchor_m = scso.ProxGGNSCORE(solver="cg", cg_tol=1e-6,
-                                     cg_adaptive=False, cg_maxiter=300)
+                                     cg_adaptive=False, cg_maxiter=300,
+                                     greedy_alpha=False)
         tuned = scso.ProxGGNSCORE(solver="cg", cg_tol=3e-4,
-                                  cg_adaptive=False, cg_maxiter=100)
+                                  cg_adaptive=False, cg_maxiter=100,
+                                  greedy_alpha=False)
         default = scso.ProxGGNSCORE(solver="cg")
         prob = _gap_anchor(_mid_logreg(dtype=np.float32), anchor_m, sm,
                            alpha=1.0)

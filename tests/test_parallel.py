@@ -509,10 +509,15 @@ class TestShardedFusedMatvec:
             glm=losses.LOGISTIC01_GLM, dtype=np.float64)
         sm = scso.PHuberSmootherL1L2(1.0)
         sprob = shard_problem(prob, make_mesh())
-        ref = scso.iterate(scso.ProxGGNSCORE(solver="cg", kernels="xla"),
-                           sprob, "l1", sm, max_epoch=40, verbose=0)
-        sol = scso.iterate(scso.ProxGGNSCORE(solver="cg", kernels="pallas"),
-                           sprob, "l1", sm, max_epoch=40, verbose=0)
+        # greedy off: kernel-parity test (see test_pallas solver parity)
+        ref = scso.iterate(
+            scso.ProxGGNSCORE(solver="cg", kernels="xla",
+                              greedy_alpha=False),
+            sprob, "l1", sm, max_epoch=40, verbose=0)
+        sol = scso.iterate(
+            scso.ProxGGNSCORE(solver="cg", kernels="pallas",
+                              greedy_alpha=False),
+            sprob, "l1", sm, max_epoch=40, verbose=0)
         np.testing.assert_allclose(sol.x, ref.x, atol=1e-7)
 
 

@@ -2,12 +2,16 @@
 
 The reference's GGN step handles ŷ with ny outputs per sample through
 its (m·ny)×n augmented Jacobian (prox-GGN-SCORE.jl:114-135, qdm1 =
-m·ny). Here the dense GGN branches flatten J/residual/Q the same way.
-(With this probability-output split Q is in fact diagonal — the famous
-non-diagonal softmax curvature belongs to the logits split; the dense
-branches are used because the scalable CG fast path assumes a scalar
-per-sample linear predictor, not (m, k) outputs.) ProxNSCORE and
-ProxLQNSCORE run on the closed-form gradient as usual.
+m·ny). Two routes exist here:
+
+* the DENSE branches flatten J/residual/Q exactly like the reference
+  (probability split; Q diagonal) — reference parity for small problems;
+* the MATRIX-FREE route (`Problem.mglm` = `losses.multinom_mglm(k)`,
+  logits split): per-sample k×k curvature actions (diag(p) − ppᵀ rowwise)
+  inside the CG matvec — two (m×p)·(p×k) MXU matmuls per iteration and no
+  (m·k)×n Jacobian, scaling to sizes where the dense route is infeasible.
+  For this linear-in-x model the logits-split GGN is the EXACT Hessian,
+  so ProxGGNSCORE(solver='cg') is full Newton-CG.
 """
 
 import numpy as np
@@ -26,6 +30,7 @@ def main():
         grad_fx=losses.multinom_grad,
         out_fn=losses.softmax_out,
         loss_fn=losses.xent_loss,
+        mglm=losses.multinom_mglm(k),
         sol=x_true,
         dtype=np.float64,
     )
@@ -39,13 +44,16 @@ def main():
     for method in [
         scso.ProxNSCORE(solver="dense", ss_type=3),
         scso.ProxGGNSCORE(solver="dense_primal", ss_type=3),
+        scso.ProxGGNSCORE(solver="cg"),  # matrix-free logits-split GGN
         scso.ProxLQNSCORE(m=10),
     ]:
         sol = scso.iterate(method, problem, "l1", hmu, max_epoch=200,
                            verbose=0)
         _, label = method.display()
+        mf = " (matrix-free mglm)" if getattr(method, "solver", "") == "cg" \
+            else ""
         print(f"{label:16s} epochs={sol.epochs:4d} "
-              f"obj={sol.obj[-1]:.8f} train_acc={accuracy(sol.x):.3f}")
+              f"obj={sol.obj[-1]:.8f} train_acc={accuracy(sol.x):.3f}{mf}")
     return sol
 
 

@@ -115,7 +115,8 @@ def make_method(adaptive, greedy, lp, curv_rows, fused_prep):
     # benchmarked solver IS the no-knob ProxGGNSCORE(solver='cg')
     # (round-2 verdict Weak #1). cg_maxiter=100 is a safety cap only
     # (warm-started CG exits at the forcing tolerance far earlier).
-    return scso.ProxGGNSCORE(solver="cg", cg_maxiter=100,
+    cg_tol = float(os.environ.get("BENCH_CG_TOL", "0"))
+    return scso.ProxGGNSCORE(solver="cg", cg_tol=cg_tol, cg_maxiter=100,
                              cg_adaptive=adaptive,
                              cg_lp_tol=(1e-2 if lp else 0.0),
                              curvature_rows=curv_rows,

@@ -37,10 +37,9 @@ class ProxNSCORE:
     use_prox: bool = True
     solver: str = "auto"
     #: CG forcing floor (relative residual). 0.0 (default) = AUTO:
-    #: sqrt(eps(dtype)) of the solve dtype — ≈3.4e-4 in f32 (the knee
-    #: measured on the headline bench: epochs-to-1e-6-gap unchanged down
-    #: to ~3e-4 while CG iterations drop ~45%) and ≈1.5e-8 in f64. Set
-    #: explicitly to override.
+    #: 3e-4 in f32 (the knee measured on the headline bench — sharply:
+    #: sqrt(eps) = 3.45e-4 already creeps at the 1e-6 endgame) and
+    #: sqrt(eps) ≈ 1.5e-8 in f64. Set explicitly to override.
     cg_tol: float = 0.0
     cg_maxiter: int = 250
     #: Eisenstat-Walker-style adaptive CG forcing (opt-in): per-epoch

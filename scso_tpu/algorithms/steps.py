@@ -302,10 +302,10 @@ def _apply_update(method, prob: Problem, reg_name, sm, As, ys, x, d,
 def _cg_tol(method, dtype):
     """Resolve the CG forcing floor for the solve dtype.
 
-    ``method.cg_tol <= 0`` (the default) means AUTO: sqrt(eps(dtype)) —
-    ≈3.4e-4 in f32, matching the measured headline-bench knee (epochs to
-    the 1e-6 gap unchanged down to ~3e-4, CG iterations ~45% lower), and
-    ≈1.5e-8 in f64 (the reference-oracle regime). An explicit cg_tol is
+    ``method.cg_tol <= 0`` (the default) means AUTO: 3e-4 in f32 (the
+    measured headline-bench knee: epochs to the 1e-6 gap unchanged down
+    to ~3e-4, CG iterations ~45% lower) and sqrt(eps) ≈ 1.5e-8 in f64
+    (the reference-oracle regime). An explicit cg_tol is
     still floored at 4·eps: asking f32 CG for 1e-8 relative residual just
     accumulates drift for maxiter iterations. The floor must stay WELL
     below the typical outer gap target (1e-6): with warm-started CG a
@@ -313,7 +313,17 @@ def _cg_tol(method, dtype):
     stalls outer convergence (observed: 720 epochs to a 1e-6 gap instead
     of ~60)."""
     eps = float(jnp.finfo(dtype).eps)
-    tol = method.cg_tol if method.cg_tol > 0 else eps ** 0.5
+    if method.cg_tol > 0:
+        tol = method.cg_tol
+    elif jnp.dtype(dtype) == jnp.float32:
+        # EXACTLY the measured knee, not sqrt(eps) = 3.45e-4: the 15%
+        # difference matters — at the north-star shape the 3.45e-4
+        # inexact fixed point sits just outside the 1e-6 gap and the
+        # endgame creeps for 400+ epochs (measured: 2.75 s / 41 epochs
+        # at 3e-4 vs 23.3 s / 447 at 3.45e-4, .bench_r3_* logs)
+        tol = 3e-4
+    else:
+        tol = eps ** 0.5
     return max(tol, 4.0 * eps)
 
 

@@ -116,11 +116,13 @@ def make_method(adaptive, greedy, lp, curv_rows, fused_prep):
     # (round-2 verdict Weak #1). cg_maxiter=100 is a safety cap only
     # (warm-started CG exits at the forcing tolerance far earlier).
     cg_tol = float(os.environ.get("BENCH_CG_TOL", "0"))
+    static_precond = _flag("BENCH_STATIC_PRECOND", "0")
     return scso.ProxGGNSCORE(solver="cg", cg_tol=cg_tol, cg_maxiter=100,
                              cg_adaptive=adaptive,
                              cg_lp_tol=(1e-2 if lp else 0.0),
                              curvature_rows=curv_rows,
                              greedy_alpha=greedy,
+                             static_precond=static_precond,
                              use_fused_prep=fused_prep)
 
 
@@ -140,6 +142,8 @@ def run_config(M, N, pad, method, use_mixed=False):
     prob = build_problem(M, N, pad)
     if method.cg_lp_tol > 0:
         prob = scso.with_lp_copy(prob)
+    if method.static_precond:
+        prob = scso.with_col_sumsq(prob)
     cur = prob
     best = np.inf
     x_opt = None
@@ -232,6 +236,7 @@ def run_config(M, N, pad, method, use_mixed=False):
            + ("+EWforcing" if method.cg_adaptive else "")
            + ("+greedy" if method.greedy_alpha else "")
            + ("+lpCG" if method.cg_lp_tol > 0 else "")
+           + ("+staticM" if method.static_precond else "")
            + (f"+curv{method.curvature_rows}" if method.curvature_rows
               else "")
            + ", ProxGGNSCORE(cg), PHuberL1L2(mu=1)")

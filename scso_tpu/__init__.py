@@ -33,6 +33,7 @@ from scso_tpu.problems import (
     ProblemLike,
     is_interval_set,
     make_problem,
+    with_col_sumsq,
 )
 from scso_tpu.algorithms.methods import (
     ProxGGNSCORE,
@@ -123,6 +124,7 @@ __all__ = [
     "MOGLMSpec",
     "is_interval_set",
     "make_problem",
+    "with_col_sumsq",
     "iterate",
     "iterate_mixed",
     "with_lp_copy",

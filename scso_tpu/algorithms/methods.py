@@ -84,6 +84,13 @@ class ProxNSCORE:
     #: (XLA async collectives) — for DCN-scale meshes with large n; the
     #: default single fused psum wins when the collective is small.
     comm_overlap_chunks: int = 1
+    #: static Jacobi preconditioner (opt-in; requires
+    #: scso.with_col_sumsq(prob)): approximate the per-epoch CG
+    #: preconditioner diagonal as mean(w)·diag(AᵀA) instead of the exact
+    #: Σᵢ wᵢAᵢⱼ² — saves ONE FULL data pass per epoch (the einsum reads
+    #: all of A) at the cost of preconditioner quality only (the CG
+    #: operator and solution are unchanged; exact for least squares).
+    static_precond: bool = False
     kernels: str = "auto"
     name: str = "prox-newtonscore"
     label: str = "Prox-N-SCORE"
@@ -138,6 +145,8 @@ class ProxGGNSCORE:
     cg_lp_tol: float = 0.0
     #: comm/compute overlap for the sharded CG matvec — see ProxNSCORE
     comm_overlap_chunks: int = 1
+    #: static Jacobi preconditioner — see ProxNSCORE.static_precond
+    static_precond: bool = False
     #: subsampled curvature (opt-in; inexact subsampled proximal Newton,
     #: arXiv:1708.08552 flavor): estimate the GGN curvature from a
     #: strided subsample of ~curvature_rows data rows while the

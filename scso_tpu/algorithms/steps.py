@@ -409,6 +409,8 @@ def _weighted_system(method, As, x, w, lhr, prob: Problem = None):
     """
     tiny = jnp.finfo(x.dtype).tiny
     mesh = getattr(prob, "mesh", None)
+    use_static = (getattr(method, "static_precond", False)
+                  and getattr(prob, "col_sumsq", None) is not None)
     if method.kernels == "pallas" and mesh is not None:
         axis = prob.data_axis
         shard_m = As.shape[0] // mesh.shape[axis]
@@ -426,7 +428,15 @@ def _weighted_system(method, As, x, w, lhr, prob: Problem = None):
         mv = lambda v: fused_normal_matvec(As, w, v) + lhr * v
     else:
         mv = lambda v: As.T @ (w * (As @ v)) + lhr * v
-    hdiag = jnp.einsum("i,ij,ij->j", w, As, As) + lhr
+    if use_static:
+        # static Jacobi: mean(w)·diag(AᵀA) — O(m+n) instead of a full
+        # extra A pass per epoch; exact when w is uniform (least
+        # squares), a quality-only approximation otherwise (the CG
+        # operator and fixed point are unchanged). Under row sharding
+        # sum(w) psums automatically (w is a sharded elementwise value).
+        hdiag = (jnp.sum(w) / As.shape[0]) * prob.col_sumsq + lhr
+    else:
+        hdiag = jnp.einsum("i,ij,ij->j", w, As, As) + lhr
     M_inv = lambda v: v / jnp.maximum(hdiag, tiny)
     return mv, M_inv
 

@@ -129,6 +129,13 @@ class Problem:
     lb: Optional[jax.Array] = None
     ub: Optional[jax.Array] = None
     groups: Optional[Groups] = None
+    #: optional precomputed column sum-of-squares diag(AᵀA) (build with
+    #: scso.with_col_sumsq) — enables the STATIC Jacobi preconditioner
+    #: (ProxGGNSCORE/ProxNSCORE ``static_precond=True``): the per-epoch
+    #: exact diagonal Σᵢ wᵢAᵢⱼ² costs a full extra A pass; the static
+    #: approximation mean(w)·diag(AᵀA) costs O(m+n) per epoch and only
+    #: affects preconditioner QUALITY (same CG fixed point).
+    col_sumsq: Optional[jax.Array] = None
     #: optional LOW-PRECISION copy of A (usually bfloat16 — build with
     #: algorithms.mixed.with_lp_copy) for precision-adaptive CG: while
     #: the CG forcing tolerance is looser than the copy's matvec error,
@@ -285,6 +292,19 @@ class Problem:
         As = self.A if As is None else As
         ys = self.y if ys is None else ys
         return self.f_val(As, ys, x) + self.reg(reg_name, x)
+
+
+def with_col_sumsq(prob: Problem) -> Problem:
+    """Attach diag(AᵀA) (one data pass, computed once) for the static
+    Jacobi preconditioner (``static_precond=True`` on ProxGGNSCORE /
+    ProxNSCORE) — the per-epoch exact preconditioner diagonal otherwise
+    costs a full extra A read per epoch."""
+    if prob.A is None:
+        raise ValueError("with_col_sumsq requires a data problem")
+    from scso_tpu._src.struct import replace as dc_replace
+
+    return dc_replace(prob, col_sumsq=jnp.einsum(
+        "ij,ij->j", prob.A, prob.A))
 
 
 class Interval(NamedTuple):

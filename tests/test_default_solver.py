@@ -14,6 +14,7 @@ knobs must converge like the bench, not many times slower.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 import scso_tpu as scso
 from scso_tpu.algorithms.steps import _cg_tol
@@ -96,6 +97,42 @@ class TestNoKnobMatchesBench:
         # ...and spends no more CG iterations than the fixed forcing
         assert (s_def.cg_info["total_cg_iters"]
                 <= s_tuned.cg_info["total_cg_iters"])
+
+    def test_static_precond_same_solution(self):
+        """static_precond changes ONLY the CG preconditioner quality:
+        the solve must land on the same solution as the exact per-epoch
+        Jacobi diagonal."""
+        from scso_tpu._src.struct import replace as dc_replace
+
+        sm = scso.PHuberSmootherL1L2(1.0)
+        prob = scso.with_col_sumsq(_mid_logreg(m=512, n=128,
+                                               dtype=np.float64))
+        kw = dict(x_tol=1e-12, f_tol=0.0, max_epoch=120, verbose=0,
+                  alpha=1.0)
+        m_dyn = scso.ProxGGNSCORE(solver="cg", cg_tol=1e-10)
+        m_sta = dc_replace(m_dyn, static_precond=True)
+        s_dyn = scso.iterate(m_dyn, prob, "l1", sm, **kw)
+        s_sta = scso.iterate(m_sta, prob, "l1", sm, **kw)
+        np.testing.assert_allclose(np.asarray(s_sta.x),
+                                   np.asarray(s_dyn.x), atol=1e-8)
+        # without col_sumsq attached, the flag is ignored (dynamic path)
+        s_no = scso.iterate(m_sta, _mid_logreg(m=512, n=128,
+                                               dtype=np.float64),
+                            "l1", sm, **kw)
+        np.testing.assert_array_equal(np.asarray(s_no.x),
+                                      np.asarray(s_dyn.x))
+
+    def test_with_col_sumsq_validation(self):
+        import jax.numpy as jnp2
+        prob = scso.with_col_sumsq(_mid_logreg(m=64, n=32,
+                                               dtype=np.float64))
+        np.testing.assert_allclose(
+            np.asarray(prob.col_sumsq),
+            np.asarray(jnp2.sum(prob.A * prob.A, axis=0)), rtol=1e-12)
+        with pytest.raises(ValueError, match="data problem"):
+            scso.with_col_sumsq(scso.Problem(
+                np.zeros(2), lambda x: (x ** 2).sum(), 1e-3,
+                dtype=np.float64))
 
     def test_default_newton_cg_converges_oracle(self):
         """No-knob Newton-CG still passes the reference oracle regime

@@ -284,15 +284,24 @@ def main():
                    **res)
     else:
         # two-config TPU default: north-star shape PRIMARY (round-2
-        # verdict Next #1), round-2 legacy shape as secondary
+        # verdict Next #1), round-2 legacy shape as secondary — the
+        # secondary runs BOTH the no-knob defaults and the
+        # reference-damped variant (greedy off) for cross-round
+        # trajectory comparability (round 2 benched the damped config)
+        import dataclasses as _dc
+
         primary = run_config(196608, 10000, True, method, use_mixed=mixed)
         secondary = run_config(1 << 19, 1024, False, method,
                                use_mixed=mixed)
+        sec_damped = run_config(
+            1 << 19, 1024, False,
+            _dc.replace(method, greedy_alpha=False), use_mixed=mixed)
         out = dict(metric="sparse_logreg_time_to_1e-6_obj_gap_northstar",
                    unit="s",
                    vs_baseline=round(10.0 / primary["value"], 2),
                    **primary,
-                   secondary_524288x1024=secondary)
+                   secondary_524288x1024=secondary,
+                   secondary_524288x1024_damped=sec_damped)
 
     # fused-kernel engagement: on TPU the hot path MUST have routed
     # through the Pallas kernels (round-1 regression: n % 128 != 0

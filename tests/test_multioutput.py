@@ -209,6 +209,42 @@ class TestMatrixFreeMultiOutput:
         np.testing.assert_allclose(np.asarray(s_lz.x), np.asarray(s_fv.x),
                                    rtol=1e-10, atol=1e-12)
 
+    def test_sharded_mglm_matches_single_device(self):
+        """Row-sharding the data mesh leaves the mglm CG path's results
+        unchanged (the Z/gradient/curvature contractions GSPMD-partition
+        with automatic psums)."""
+        from scso_tpu.parallel import make_mesh, shard_problem
+
+        prob = make_mglm_problem(m=64, p=6, k=3)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        meth = scso.ProxGGNSCORE(solver="cg", cg_tol=1e-12,
+                                 cg_adaptive=False, cg_maxiter=100)
+        kw = dict(max_epoch=40, verbose=0)
+        ref = scso.iterate(meth, prob, "l1", sm, **kw)
+        sol = scso.iterate(meth, shard_problem(prob, make_mesh()), "l1",
+                           sm, **kw)
+        np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x),
+                                   atol=1e-12)
+
+    def test_mglm_lambda_sweep_matches_scalar(self):
+        """Vmapped λ-sweeps work over mglm problems (one batched program
+        per grid) and match per-λ scalar solves."""
+        from scso_tpu.parallel import sweep
+
+        prob = make_mglm_problem(m=48, p=6, k=3)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        meth = scso.ProxGGNSCORE(solver="cg", cg_tol=1e-10,
+                                 cg_adaptive=False, cg_maxiter=100)
+        lam_grid = np.array([1e-3, 1e-2, 1e-1, 1.0])
+        opts = scso.Options(max_epoch=60, verbose=0)
+        res = sweep(meth, prob, "l1", sm, lam_grid=lam_grid, opts=opts)
+        from scso_tpu._src.struct import replace as dc_replace
+        for i, lam in enumerate(lam_grid):
+            p = dc_replace(prob, lam=jnp.asarray(lam, prob.x0.dtype))
+            ref = scso.iterate(meth, p, "l1", sm, max_epoch=60, verbose=0)
+            np.testing.assert_allclose(np.asarray(res.x[i]),
+                                       np.asarray(ref.x), atol=1e-9)
+
     def test_mglm_validation(self):
         from scso_tpu.algorithms.steps import _mo_glm_system
         from scso_tpu.models.losses import MULTINOM_MGLM, multinom_mglm

@@ -39,7 +39,8 @@ two-config default and runs exactly one configuration):
   BENCH_LP=1        — precision-adaptive CG (bf16 curvature copy)
   BENCH_CURV_ROWS=K — subsampled-curvature CG
   BENCH_MIXED=1     — bf16 coarse phase + f32 finish
-  BENCH_FUSED_PREP=1 — single-pass Pallas GLM epoch prep
+  BENCH_FUSED_PREP=0/1 — force the single-pass Pallas GLM epoch prep
+                      off/on (unset = AUTO by shape: on at n >= 8192)
 """
 
 from __future__ import annotations
@@ -262,7 +263,9 @@ def main():
     greedy = _flag("BENCH_GREEDY", "1")
     lp = _flag("BENCH_LP", "0")
     curv = int(os.environ.get("BENCH_CURV_ROWS", "0"))
-    fused_prep = _flag("BENCH_FUSED_PREP", "0")
+    # tri-state: unset = AUTO (shape-aware; wins at n>=8192, loses small)
+    _fp_env = os.environ.get("BENCH_FUSED_PREP")
+    fused_prep = None if _fp_env is None else bool(int(_fp_env))
     mixed = _flag("BENCH_MIXED", "0")
     if lp and not adaptive:
         print("bench: BENCH_LP=1 implies BENCH_ADAPTIVE=1 (fixed forcing "

@@ -157,9 +157,14 @@ class ProxGGNSCORE:
     #: cg_lp_tol (the low-precision copy has full-m shape).
     curvature_rows: int = 0
     kernels: str = "auto"
-    # opt-in single-pass epoch-prep kernel (ops/pallas/glm_prep) — XLA's
-    # own fusion of the z/b/hdiag passes measured faster on v5e
-    use_fused_prep: bool = False
+    #: single-pass epoch-prep kernel (ops/pallas/glm_prep): z + RHS
+    #: pullback + Jacobi diagonal in ONE A read. None = AUTO: on for
+    #: n >= 8192 — measured on v5e: WINS 2.70 s → 2.14 s at the
+    #: north-star shape (n = 10112 tall-narrow tiles) but LOSES at
+    #: n = 1024 (0.455 → 0.599 s; XLA's own fusion is better there,
+    #: and the kernel's halved tiles cost more than they save). The
+    #: 8192 threshold enables it only in the measured-win regime.
+    use_fused_prep: Optional[bool] = None
     name: str = "prox-ggnscore"
     label: str = "Prox-GGN-SCORE"
 

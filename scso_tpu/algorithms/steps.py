@@ -688,12 +688,16 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
                 "CG to struggle or the outer iteration to diverge. Use "
                 "curvature_rows >> n.",
             )
-        # MEASURED on v5e at 524288×1024: XLA already fuses the z/b/hdiag
-        # passes into ~5.7 ms/epoch of multiply-reduce fusions, while the
-        # Mosaic prep kernel (halved tiles for the a*a buffer) costs more
-        # (bench 1.31 s vs 1.15 s) — so the fused prep is OPT-IN.
+        # MEASURED on v5e: at 524288×1024 XLA already fuses the z/b/hdiag
+        # passes well and the Mosaic prep kernel LOSES (0.455→0.599 s);
+        # at the north-star 196608×10112 the single-pass kernel WINS
+        # (2.70→2.14 s). use_fused_prep=None resolves by shape (AUTO:
+        # n >= 8192 — the measured-win regime).
+        fprep = method.use_fused_prep
+        if fprep is None:
+            fprep = As.shape[1] >= 8192
         if (not subsample
-                and method.use_fused_prep and method.kernels == "pallas"
+                and fprep and method.kernels == "pallas"
                 and getattr(prob, "mesh", None) is None
                 and supports_fused_normal_matvec(*As.shape,
                                                  As.dtype.itemsize)):

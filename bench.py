@@ -35,7 +35,8 @@ two-config default and runs exactly one configuration):
   BENCH_M / BENCH_N / BENCH_PAD — problem shape / feature padding
   BENCH_ADAPTIVE=1  — EW adaptive CG forcing (measured 120 vs 41 epochs
                       at the north-star shape — kept opt-in)
-  BENCH_GREEDY=0    — disable greedy SCORE damping (reference-damped)
+  BENCH_GREEDY=0/1  — force greedy SCORE damping off/on (unset = AUTO:
+                      on at n >= 4096, the measured-win regime)
   BENCH_LP=1        — precision-adaptive CG (bf16 curvature copy)
   BENCH_CURV_ROWS=K — subsampled-curvature CG
   BENCH_MIXED=1     — bf16 coarse phase + f32 finish
@@ -232,10 +233,12 @@ def run_config(M, N, pad, method, use_mixed=False):
     jax.block_until_ready(x)
     ms_per_step = (time.perf_counter() - t0) / n_rep * 1e3
 
+    from scso_tpu.algorithms.steps import use_greedy
+
     cfg = (f"{M}x{N}" + ("(pad)" if pad else "") + " "
            + ("bf16+f32 mixed" if use_mixed else "f32")
            + ("+EWforcing" if method.cg_adaptive else "")
-           + ("+greedy" if method.greedy_alpha else "")
+           + ("+greedy" if use_greedy(method, N) else "")
            + ("+lpCG" if method.cg_lp_tol > 0 else "")
            + ("+staticM" if method.static_precond else "")
            + (f"+curv{method.curvature_rows}" if method.curvature_rows
@@ -257,10 +260,12 @@ def main():
     env_shape = "BENCH_M" in os.environ or "BENCH_N" in os.environ
 
     # defaults = the measured-best config = the library defaults:
-    # greedy SCORE damping ON, fixed AUTO forcing (EW adaptive measured
-    # 120 vs 41 epochs at the north-star shape — docs/STATUS.md)
+    # greedy SCORE damping AUTO (on at n >= 4096 — the measured-win
+    # regime), fixed AUTO forcing (EW adaptive measured 120 vs 41
+    # epochs at the north-star shape — docs/STATUS.md)
     adaptive = _flag("BENCH_ADAPTIVE", "0")
-    greedy = _flag("BENCH_GREEDY", "1")
+    _gr_env = os.environ.get("BENCH_GREEDY")
+    greedy = None if _gr_env is None else bool(int(_gr_env))
     lp = _flag("BENCH_LP", "0")
     curv = int(os.environ.get("BENCH_CURV_ROWS", "0"))
     # tri-state: unset = AUTO (shape-aware; wins at n>=8192, loses small)

@@ -71,13 +71,17 @@ class ProxNSCORE:
     #: predictor for F(x)). NaN-safe: a diverging trial fails the strict
     #: -decrease test and is discarded.
     #:
-    #: DEFAULT None = AUTO: on for ss_type=1 (the default scheme, where
-    #: the win is measured), off for ss_type 2/3 — the greedy full prox
-    #: step can land EXACTLY on an l1 kink, where the Armijo fallback's
-    #: smooth-slope test (ss_type=3) collapses α and freezes the
-    #: iteration short of the optimum (observed on the reference oracle
-    #: fixture). Explicit True/False always wins; False gives exact
-    #: reference-trajectory parity (fixed points unchanged either way).
+    #: DEFAULT None = AUTO: on for ss_type=1 AND n >= 4096. ss_type 2/3
+    #: stay off — the greedy full prox step can land EXACTLY on an l1
+    #: kink, where the Armijo fallback's smooth-slope test (ss_type=3)
+    #: collapses α and freezes the iteration short of the optimum
+    #: (observed on the reference oracle fixture). Small n stays off —
+    #: the damping over-throttling greedy compensates grows as
+    #: M_g ∝ n^0.2, and at n = 1024 the trial's extra data pass was
+    #: measured to cost more than it saves (29 vs 21 epochs) while at
+    #: n = 10112 it wins 41 vs 120. Explicit True/False always wins;
+    #: False gives exact reference-trajectory parity (fixed points
+    #: unchanged either way).
     greedy_alpha: Optional[bool] = None
     #: >1 splits the row-sharded CG matvec's second contraction into
     #: output-column chunks whose psums overlap the next chunk's compute

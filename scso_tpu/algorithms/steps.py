@@ -279,20 +279,28 @@ def _greedy_prox_update(method, prob: Problem, reg_name, sm, As, ys,
     return x_new, pri, dx
 
 
-def use_greedy(method) -> bool:
-    """Resolve greedy_alpha None = AUTO: on for ss_type=1 only (the
-    measured win; ss_type=3's Armijo can freeze at the l1 kinks the
-    greedy full prox step lands on — methods.ProxNSCORE.greedy_alpha)."""
+def use_greedy(method, n=None) -> bool:
+    """Resolve greedy_alpha None = AUTO: on for ss_type=1 AND n >= 4096.
+
+    Both conditions are measured: ss_type=3's Armijo can freeze at the
+    l1 kinks the greedy full prox step lands on (reference oracle), and
+    the SCORE damping greedy compensates over-throttles as M_g ∝ n^0.2 —
+    a large-n phenomenon (n = 10112: 41 vs 120 epochs, big win; n =
+    1024: 29 vs 21, the trial's extra data pass loses). See
+    methods.ProxNSCORE.greedy_alpha; explicit True/False always wins."""
     g = getattr(method, "greedy_alpha", False)
     if g is None:
-        return method.ss_type == 1
+        if method.ss_type != 1:
+            return False
+        return n is None or n >= 4096
     return bool(g)
 
 
 def _apply_update(method, prob: Problem, reg_name, sm, As, ys, x, d,
                   step_size, lam, lgr, Hr_diag, z=None):
     """Damped-prox tail, greedy variant when ``method.greedy_alpha``."""
-    if use_greedy(method):
+    n_eff = prob.n_true if prob.n_true is not None else x.shape[-1]
+    if use_greedy(method, n_eff):
         return _greedy_prox_update(method, prob, reg_name, sm, As, ys,
                                    x, d, step_size, lam, lgr, Hr_diag, z)
     return _damped_prox_update(method, prob, reg_name, sm, x, d,

@@ -49,18 +49,24 @@ class TestAutoTol:
         from scso_tpu.algorithms.steps import use_greedy
 
         for m in (scso.ProxGGNSCORE(), scso.ProxNSCORE()):
-            assert use_greedy(m)           # AUTO: on for ss_type=1
+            # AUTO: on for ss_type=1 at large n (the measured-win regime)
+            assert use_greedy(m, 10000)
             assert not m.cg_adaptive
-            assert m.cg_tol == 0.0         # AUTO sqrt(eps)
+            assert m.cg_tol == 0.0         # AUTO forcing knee
         # AUTO turns greedy OFF for ss_type 2/3 (Armijo can freeze at
-        # the l1 kinks the full prox step lands on) …
-        assert not use_greedy(scso.ProxNSCORE(ss_type=3))
-        assert not use_greedy(scso.ProxGGNSCORE(ss_type=2))
+        # the l1 kinks the full prox step lands on) and at small n
+        # (the trial's extra data pass measured to cost more than the
+        # damping over-throttling it fixes) …
+        assert not use_greedy(scso.ProxNSCORE(ss_type=3), 10000)
+        assert not use_greedy(scso.ProxGGNSCORE(ss_type=2), 10000)
+        assert not use_greedy(scso.ProxGGNSCORE(), 1024)
         # … but an explicit setting always wins
-        assert use_greedy(scso.ProxNSCORE(ss_type=3, greedy_alpha=True))
-        assert not use_greedy(scso.ProxNSCORE(greedy_alpha=False))
+        assert use_greedy(scso.ProxNSCORE(ss_type=3, greedy_alpha=True),
+                          8)
+        assert use_greedy(scso.ProxGGNSCORE(greedy_alpha=True), 1024)
+        assert not use_greedy(scso.ProxNSCORE(greedy_alpha=False), 10000)
         # L-BFGS directions are not Newton-quality; greedy stays opt-in
-        assert not use_greedy(scso.ProxLQNSCORE())
+        assert not use_greedy(scso.ProxLQNSCORE(), 10000)
 
 
 class TestNoKnobMatchesBench:

@@ -13,13 +13,10 @@ knobs must converge like the bench, not many times slower.
 """
 
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
 import scso_tpu as scso
 from scso_tpu.algorithms.steps import _cg_tol
-from scso_tpu.models import losses, synthetic
-from scso_tpu._src.struct import replace as dc_replace
 
 from test_greedy_alpha import _gap_anchor, _mid_logreg
 

@@ -16,8 +16,7 @@ import scso_tpu as scso
 from scso_tpu.models import losses, synthetic
 from scso_tpu._src.struct import replace as dc_replace
 
-from test_algs import (A_LOG, LAM, MU, X0_LOG, Y_LOG, f_reg, f_reg_y,
-                       Mfunc, make_log_problem, check)
+from test_algs import MU, f_reg_y, Mfunc, make_log_problem, check
 
 
 @pytest.mark.parametrize("reg_name", ["l1", "l2"])

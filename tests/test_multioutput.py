@@ -145,6 +145,41 @@ class TestMatrixFreeMultiOutput:
                                    np.asarray(hv_ad + lhr * v),
                                    rtol=1e-8, atol=1e-10)
 
+    @pytest.mark.parametrize("m,p,k", [
+        (16, 1, 2),    # single feature
+        (33, 5, 7),    # odd everything
+        (8, 12, 2),    # underdetermined, binary softmax
+        (64, 4, 11),   # many classes
+    ])
+    def test_system_matches_ad_fuzz_shapes(self, m, p, k):
+        """grad/matvec parity vs AD across awkward (m, p, k) shapes."""
+        from scso_tpu.algorithms.steps import _mo_glm_system
+        from scso_tpu.models.losses import multinom_mglm
+        from scso_tpu.models.synthetic import make_multinomial_data
+
+        A, y, x0, _ = make_multinomial_data(m, p, k, seed=m + p + k,
+                                            dtype=np.float64)
+        prob = scso.Problem(A, y, x0, multinom_f, LAM,
+                            grad_fx=multinom_grad,
+                            mglm=multinom_mglm(k), dtype=np.float64)
+        rng = np.random.default_rng(k)
+        x = jnp.asarray(0.5 * rng.standard_normal(p * k))
+        v = jnp.asarray(rng.standard_normal(p * k))
+        lhr = jnp.asarray(0.2 * np.abs(rng.standard_normal(p * k)))
+        Z, grad_vec, mv, M_inv = _mo_glm_system(prob, prob.A, prob.y, x,
+                                                lhr)
+        fun = lambda u: multinom_f(prob.A, prob.y, u)
+        np.testing.assert_allclose(np.asarray(grad_vec),
+                                   np.asarray(jax.grad(fun)(x)),
+                                   rtol=1e-9, atol=1e-12)
+        hv = jax.jvp(jax.grad(fun), (x,), (v,))[1]
+        np.testing.assert_allclose(np.asarray(mv(v)),
+                                   np.asarray(hv + lhr * v),
+                                   rtol=1e-8, atol=1e-10)
+        # the curvature operator is PSD: v'Qv >= 0 (+ lhr term)
+        assert float(jnp.vdot(v, mv(v))) >= float(
+            jnp.vdot(v, lhr * v)) - 1e-10
+
     def test_cg_matches_dense_newton_oracle(self):
         """ProxGGNSCORE(cg) on the mglm spec == ProxNSCORE(dense) on the
         same problem (identical curvature operator), to CG tolerance."""

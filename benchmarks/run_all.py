@@ -170,6 +170,30 @@ def bench_big_sweep(quick=False):
                         and np.all(np.isfinite(resw.obj))))
 
 
+def bench_multinomial():
+    """Multi-output family: matrix-free logits-split GGN-CG (mglm)."""
+    from scso_tpu.models.losses import (multinom_f, multinom_grad,
+                                        multinom_mglm)
+    from scso_tpu.models.synthetic import make_multinomial_data
+
+    m, p, k = 8192, 64, 8
+    A, y, x0, _ = make_multinomial_data(m, p, k, seed=11,
+                                        dtype=np.float32)
+    prob = scso.Problem(A, y, x0, multinom_f, 1e-2,
+                        grad_fx=multinom_grad, mglm=multinom_mglm(k),
+                        dtype=np.float32)
+    sm = scso.PHuberSmootherL1L2(1.0)
+    run = lambda: scso.iterate(scso.ProxGGNSCORE(solver="cg"), prob,
+                               "l1", sm, alpha=1.0, max_epoch=60,
+                               verbose=0)
+    dt, sol = timeit(run)
+    ok = bool(np.all(np.isfinite(sol.x))
+              and sol.obj[-1] < 0.9 * sol.obj[0])
+    return dict(config=f"multinomial_{m}x{p}x{k}_mglm_cg",
+                seconds=round(dt, 4), epochs=sol.epochs,
+                obj=float(sol.obj[-1]), ok=ok)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -177,7 +201,7 @@ def main():
 
     results = []
     for fn in [bench_rosenbrock, bench_logistic_100x50, bench_group_lasso,
-               bench_box_qp,
+               bench_box_qp, bench_multinomial,
                lambda: bench_big_sweep(quick=args.quick)]:
         r = fn()
         results.append(r)

@@ -23,6 +23,12 @@ from scso_tpu.parallel.federated import (
     federated_solve,
     split_clients,
 )
+from scso_tpu.parallel.dataio import (
+    load_problem_rows_sharded,
+    load_rows_sharded,
+    save_array,
+    save_problem_data,
+)
 
 __all__ = [
     "distributed_init",
@@ -38,4 +44,8 @@ __all__ = [
     "FederatedResult",
     "federated_solve",
     "split_clients",
+    "load_problem_rows_sharded",
+    "load_rows_sharded",
+    "save_array",
+    "save_problem_data",
 ]

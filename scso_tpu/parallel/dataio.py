@@ -1,0 +1,141 @@
+"""Sharded on-disk data IO: build row-sharded device arrays shard-by-shard.
+
+The true north-star data matrix (10⁷×10⁴ f32 = 400 GB, BASELINE.json:5)
+cannot be materialized in any single host's RAM before sharding — the
+`shard_problem` path (host array → `jax.device_put`) stops working long
+before that. This module builds the sharded array directly from an
+on-disk ``.npy`` via ``numpy`` memmap + ``jax.make_array_from_callback``:
+each host reads ONLY the row slices its addressable devices own (zero-copy
+memmap slices → one shard-sized host buffer at a time), which is the
+standard multi-host JAX ingestion pattern (every host memmaps the same
+file on a shared FS, or its own replica).
+
+The reference's data story is `MLUtils.DataLoader` over an in-memory
+matrix (utils/utils.jl:18-25) — single-process, no IO tier. This is the
+TPU-native equivalent for the scale the framework targets.
+
+No native code needed: the read path is mmap-bound (the kernel does the
+IO); the native tier (`scso_tpu._native`) covers synthesis instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from scso_tpu.problems import Problem, make_problem
+from scso_tpu._src.struct import replace as dc_replace
+
+
+def save_array(path: str, arr, *, chunk_rows: int = 1 << 16) -> None:
+    """Write an array to ``.npy`` incrementally (chunk_rows rows at a
+    time), so a generator-backed or memmapped source never needs to be
+    resident at once. ``arr`` may be a numpy array, a memmap, or any
+    object with ``shape``/``dtype`` and row slicing."""
+    shape, dtype = tuple(arr.shape), np.dtype(arr.dtype)
+    with open(path, "wb") as fh:
+        np.lib.format.write_array_header_2_0(
+            fh, dict(descr=np.lib.format.dtype_to_descr(dtype),
+                     fortran_order=False, shape=shape))
+        if len(shape) == 0:
+            fh.write(np.asarray(arr).tobytes())
+            return
+        for lo in range(0, shape[0], chunk_rows):
+            fh.write(np.ascontiguousarray(
+                arr[lo:lo + chunk_rows]).tobytes())
+
+
+def load_rows_sharded(path: str, mesh: Mesh, data_axis: str = "data",
+                      *, dtype=None) -> jax.Array:
+    """Load a ``.npy`` as a device array row-sharded over ``mesh[data_axis]``.
+
+    Each addressable shard is read as a memmap slice (host RAM high-water
+    mark = one shard, not the array) and transferred directly to its
+    device — `jax.make_array_from_callback` with a NamedSharding is the
+    canonical multi-host pattern: on a pod, every process only reads the
+    rows its local devices own.
+    """
+    mm = np.load(path, mmap_mode="r")
+    axis_size = mesh.shape[data_axis]
+    m = mm.shape[0]
+    if m % axis_size != 0:
+        raise ValueError(
+            f"rows m={m} not divisible by {data_axis!r}={axis_size} "
+            "(zero-row padding would rescale 1/m losses; pad the file "
+            "explicitly)")
+    spec = P(data_axis, *([None] * (mm.ndim - 1)))
+    sharding = NamedSharding(mesh, spec)
+    dt = np.dtype(dtype) if dtype is not None else mm.dtype
+
+    def cb(index):
+        block = mm[index]
+        if block.dtype != dt:
+            block = block.astype(dt)
+        return np.ascontiguousarray(block)
+
+    return jax.make_array_from_callback(mm.shape, sharding, cb)
+
+
+def save_problem_data(dirpath: str, A, y, *, chunk_rows: int = 1 << 16,
+                      Atest=None, ytest=None) -> None:
+    """Persist a data problem's arrays for sharded loading:
+    ``A.npy``/``y.npy`` (+ optional test split) and a manifest."""
+    os.makedirs(dirpath, exist_ok=True)
+    save_array(os.path.join(dirpath, "A.npy"), A, chunk_rows=chunk_rows)
+    save_array(os.path.join(dirpath, "y.npy"), y, chunk_rows=chunk_rows)
+    manifest = dict(m=int(A.shape[0]), n=int(A.shape[-1]),
+                    dtype=str(np.dtype(A.dtype)),
+                    has_test=Atest is not None)
+    if Atest is not None:
+        save_array(os.path.join(dirpath, "Atest.npy"), Atest,
+                   chunk_rows=chunk_rows)
+        save_array(os.path.join(dirpath, "ytest.npy"), ytest,
+                   chunk_rows=chunk_rows)
+    with open(os.path.join(dirpath, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+
+
+def load_problem_rows_sharded(dirpath: str, x0, f, lam, mesh: Mesh,
+                              data_axis: str = "data", *,
+                              dtype=None, **problem_kw) -> Problem:
+    """Build a row-sharded :class:`Problem` straight from a
+    :func:`save_problem_data` directory — the out-of-host-RAM equivalent
+    of ``shard_problem(make_problem(A, y, ...), mesh)``: A and y go from
+    disk to their devices shard-by-shard and the problem is stamped with
+    (mesh, data_axis) so the fused sharded kernels engage.
+
+    ``x0`` (an n-vector) and every other metadata leaf stay host-built
+    and replicated as usual — only the data matrix is at "never resident
+    on one host" scale.
+    """
+    with open(os.path.join(dirpath, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    dt = np.dtype(dtype) if dtype is not None else np.dtype(
+        manifest["dtype"])
+    A = load_rows_sharded(os.path.join(dirpath, "A.npy"), mesh,
+                          data_axis, dtype=dt)
+    y = load_rows_sharded(os.path.join(dirpath, "y.npy"), mesh,
+                          data_axis, dtype=dt)
+    kw = dict(problem_kw)
+    if manifest.get("has_test"):
+        kw.setdefault("Atest", load_rows_sharded(
+            os.path.join(dirpath, "Atest.npy"), mesh, data_axis,
+            dtype=dt))
+        kw.setdefault("ytest", load_rows_sharded(
+            os.path.join(dirpath, "ytest.npy"), mesh, data_axis,
+            dtype=dt))
+    prob = make_problem(A, y, x0, f, lam, dtype=dt, **kw)
+    rep = NamedSharding(mesh, P())
+    put_rep = lambda a: None if a is None else jax.device_put(a, rep)
+    return dc_replace(
+        prob,
+        x0=put_rep(prob.x0), lam=put_rep(prob.lam),
+        x_star=put_rep(prob.x_star),
+        L=put_rep(prob.L), lb=put_rep(prob.lb), ub=put_rep(prob.ub),
+        mesh=mesh, data_axis=data_axis,
+    )

@@ -63,6 +63,27 @@ def main():
                  path_waves=4, wave_max_epoch=20)
     print("cold epochs:", np.asarray(res.epochs).sum(),
           " warm-wave epochs:", np.asarray(resw.epochs).sum())
+    # ... or let the plan rule decide from the measured dispatch latency:
+    # sweep(..., plan='auto')
+
+    # 4. sharded IO: data far beyond host RAM loads shard-by-shard from
+    # disk (each host reads only its devices' memmap row slices); the
+    # solve from disk bit-matches the in-memory sharded one
+    import tempfile
+    from scso_tpu.parallel import (load_problem_rows_sharded,
+                                   save_problem_data)
+
+    with tempfile.TemporaryDirectory() as d:
+        save_problem_data(d, np.asarray(prob.A), np.asarray(prob.y))
+        loaded = load_problem_rows_sharded(
+            d, x0, losses.logistic01_f, 0.01, mesh,
+            grad_fx=losses.logistic01_grad, hvp_w=losses.logistic01_hvp_w,
+            glm=losses.LOGISTIC01_GLM)
+        sol_disk = scso.iterate(method, loaded, "l1", sm, max_epoch=50,
+                                verbose=0)
+        print("solve-from-disk matches:",
+              bool(np.array_equal(np.asarray(sol_disk.x),
+                                  np.asarray(sol.x))))
     return res
 
 

@@ -111,9 +111,11 @@ def build_problem(M, N, pad, sol=None):
 
 
 def make_method(adaptive, greedy, lp, curv_rows, fused_prep):
-    # cg_tol=0.0 = AUTO sqrt(eps(f32)) ≈ 3.4e-4: the measured
-    # inexact-Newton knee (epochs-to-gap UNCHANGED down to ~3e-4, CG
-    # iterations ~45% lower) — and exactly the library default, so the
+    # cg_tol=0.0 = AUTO = the measured 3e-4 inexact-Newton knee
+    # (deliberately NOT sqrt(eps(f32)) = 3.45e-4 — that value creeps at
+    # the 1e-6 endgame, 447 vs 41 epochs; see steps._cg_tol). Epochs-to-
+    # gap are UNCHANGED down to ~3e-4 with CG iterations ~45% lower —
+    # and AUTO is exactly the library default, so the
     # benchmarked solver IS the no-knob ProxGGNSCORE(solver='cg')
     # (round-2 verdict Weak #1). cg_maxiter=100 is a safety cap only
     # (warm-started CG exits at the forcing tolerance far earlier).

@@ -292,6 +292,22 @@ def solve(method, prob: Problem, reg_name: str, sm, opts: Options,
     """
     prob = _effective_L(prob, alpha)
     method = _resolve_kernels(method, prob)
+    # The AUTO f32 CG floor (3e-4, steps._cg_tol) is the measured knee
+    # for ~1e-6 relative objective gaps; a tighter f_tol can hit a
+    # forcing-induced outer stall silently (the inexact-CG fixed point
+    # sits outside the target gap). Surface that once per process
+    # instead of changing the benched default.
+    if (hasattr(method, "cg_tol") and method.cg_tol <= 0
+            and jnp.dtype(prob.x0.dtype) == jnp.float32
+            and 0 < opts.f_tol < 1e-6):
+        from scso_tpu.algorithms.steps import _warn_once
+        _warn_once(
+            "cg-auto-f32-ftol",
+            f"f_tol={opts.f_tol:g} is tighter than the ~1e-6 gap regime "
+            "the AUTO float32 CG tolerance (3e-4) was measured for — if "
+            "the solve stalls short of the target, set cg_tol explicitly "
+            "(e.g. sqrt(f_tol)/3) or solve in float64.",
+        )
     if opts.mode == "timed":
         return _solve_python(method, prob, reg_name, sm, opts,
                              metric_fns, metric_names, rng_seed=rng_seed,

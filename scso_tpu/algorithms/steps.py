@@ -105,6 +105,17 @@ def _resolve_ggn_solver(method, prob, As, x) -> str:
     ny = prob.mglm.n_out if prob.mglm is not None else 1
     matrix_free_ok = (prob.glm is not None or prob.mglm is not None
                       or prob.out_fn is not None)
+    if prob.mglm is not None:
+        # an mglm-only problem has a working matrix-free path but no
+        # dense one unless the ggn_pieces inputs exist — routing it into
+        # the dense branch by size alone would fail in prob.ggn_pieces
+        # ("requires out_fn/loss_fn")
+        dense_ok = (
+            all(fn is not None
+                for fn in (prob.jac_yx, prob.grad_fy, prob.hess_fy))
+            or (prob.out_fn is not None and prob.loss_fn is not None))
+        if not dense_ok:
+            return "cg"
     if m * ny * n > _DENSE_GGN_MAX_ELEMS and matrix_free_ok:
         _warn_once(
             ("ggn-auto-cg", (m, ny, n)),
@@ -279,19 +290,32 @@ def _greedy_prox_update(method, prob: Problem, reg_name, sm, As, ys,
     return x_new, pri, dx
 
 
-def use_greedy(method, n=None) -> bool:
-    """Resolve greedy_alpha None = AUTO: on for ss_type=1 AND n >= 4096.
+def use_greedy(method, n=None, prob=None) -> bool:
+    """Resolve greedy_alpha None = AUTO: on for ss_type=1 AND n >= 4096
+    AND (when `prob` is given) a glm/mglm `loss_z` to price the trial.
 
-    Both conditions are measured: ss_type=3's Armijo can freeze at the
-    l1 kinks the greedy full prox step lands on (reference oracle), and
-    the SCORE damping greedy compensates over-throttles as M_g ∝ n^0.2 —
-    a large-n phenomenon (n = 10112: 41 vs 120 epochs, big win; n =
-    1024: 29 vs 21, the trial's extra data pass loses). See
+    The first two conditions are measured: ss_type=3's Armijo can freeze
+    at the l1 kinks the greedy full prox step lands on (reference
+    oracle), and the SCORE damping greedy compensates over-throttles as
+    M_g ∝ n^0.2 — a large-n phenomenon (n = 10112: 41 vs 120 epochs, big
+    win; n = 1024: 29 vs 21, the trial's extra data pass loses). The
+    loss_z condition bounds the trial's cost: without it the generic
+    fallback evaluates BOTH F(x) and F(x_trial) via prob.f_val — two
+    extra full data passes per epoch, not the documented one — so AUTO
+    stays off there (explicit greedy_alpha=True still opts in). See
     methods.ProxNSCORE.greedy_alpha; explicit True/False always wins."""
     g = getattr(method, "greedy_alpha", False)
     if g is None:
         if method.ss_type != 1:
             return False
+        if prob is not None:
+            cheap = (
+                (prob.glm is not None
+                 and getattr(prob.glm, "loss_z", None) is not None)
+                or (prob.mglm is not None
+                    and getattr(prob.mglm, "loss_z", None) is not None))
+            if not cheap:
+                return False
         return n is None or n >= 4096
     return bool(g)
 
@@ -300,7 +324,7 @@ def _apply_update(method, prob: Problem, reg_name, sm, As, ys, x, d,
                   step_size, lam, lgr, Hr_diag, z=None):
     """Damped-prox tail, greedy variant when ``method.greedy_alpha``."""
     n_eff = prob.n_true if prob.n_true is not None else x.shape[-1]
-    if use_greedy(method, n_eff):
+    if use_greedy(method, n_eff, prob):
         return _greedy_prox_update(method, prob, reg_name, sm, As, ys,
                                    x, d, step_size, lam, lgr, Hr_diag, z)
     return _damped_prox_update(method, prob, reg_name, sm, x, d,
@@ -418,7 +442,15 @@ def _weighted_system(method, As, x, w, lhr, prob: Problem = None):
     tiny = jnp.finfo(x.dtype).tiny
     mesh = getattr(prob, "mesh", None)
     use_static = (getattr(method, "static_precond", False)
-                  and getattr(prob, "col_sumsq", None) is not None)
+                  and getattr(prob, "col_sumsq", None) is not None
+                  # col_sumsq was computed over ALL of prob.A's rows; a
+                  # batch slice or curvature_rows subsample has fewer —
+                  # scaling by sum(w_sub)/m_sub would inflate the data
+                  # diagonal ~m/m_sub vs the lam*Hr term and skew the
+                  # Jacobi preconditioner (same guard idea as A_lp's
+                  # shape check in _lp_matvec)
+                  and getattr(prob, "A", None) is not None
+                  and As.shape[0] == prob.A.shape[0])
     if method.kernels == "pallas" and mesh is not None:
         axis = prob.data_axis
         shard_m = As.shape[0] // mesh.shape[axis]

@@ -162,3 +162,67 @@ class TestNoKnobMatchesBench:
                               prob, "l1", sm, **kw)
         np.testing.assert_array_equal(np.asarray(s_auto.x),
                                       np.asarray(s_expl.x))
+
+
+class TestRound4AdviceFixes:
+    """Regression tests for the round-3 advisor findings (ADVICE.md r3)."""
+
+    def test_mglm_only_auto_resolves_cg(self):
+        """An mglm-only problem (no out_fn/loss_fn/jac pieces) under
+        solver='auto' must route to the matrix-free CG path even below
+        the dense size budget — the dense branch would fail inside
+        prob.ggn_pieces ('requires out_fn/loss_fn')."""
+        from test_multioutput import make_mglm_problem
+        from scso_tpu._src.struct import replace as dc_replace
+        from scso_tpu.algorithms.steps import _resolve_ggn_solver
+
+        prob = dc_replace(make_mglm_problem(), out_fn=None, loss_fn=None)
+        meth = scso.ProxGGNSCORE()  # solver='auto'
+        assert _resolve_ggn_solver(meth, prob, prob.A, prob.x0) == "cg"
+        # ...and the solve actually runs end-to-end
+        sm = scso.PHuberSmootherL1L2(1.0)
+        s = scso.iterate(meth, prob, "l1", sm, max_epoch=10, verbose=0)
+        assert np.all(np.isfinite(s.x)) and s.obj[-1] < s.obj[0]
+        # dense pieces present: the size budget decides as before
+        probd = make_mglm_problem()
+        assert _resolve_ggn_solver(meth, probd, probd.A, probd.x0) == "auto"
+
+    def test_greedy_auto_requires_cheap_trial(self):
+        """AUTO greedy only engages when the glm/mglm spec prices the
+        trial via loss_z; the generic f_val fallback costs TWO extra
+        full data passes per epoch, so AUTO stays off there."""
+        from scso_tpu._src.struct import replace as dc_replace
+        from scso_tpu.algorithms.steps import use_greedy
+
+        meth = scso.ProxGGNSCORE()  # greedy_alpha=None = AUTO
+        prob = _mid_logreg(m=64, n=32, dtype=np.float64)
+        assert use_greedy(meth, 10000, prob)
+        prob_no_lz = dc_replace(prob, glm=prob.glm._replace(loss_z=None))
+        assert not use_greedy(meth, 10000, prob_no_lz)
+        # explicit True still opts in regardless
+        assert use_greedy(dc_replace(meth, greedy_alpha=True),
+                          10000, prob_no_lz)
+        # prob omitted (display/back-compat callers): size rule only
+        assert use_greedy(meth, 10000)
+
+    def test_static_precond_skips_row_subsets(self):
+        """static_precond composed with curvature_rows: col_sumsq was
+        computed over ALL rows, so the subsampled CG system must fall
+        back to the exact per-epoch diagonal (preconditioner-quality
+        guard) — the solve still lands on the full-data solution of the
+        same subsampled operator."""
+        from scso_tpu._src.struct import replace as dc_replace
+
+        sm = scso.PHuberSmootherL1L2(1.0)
+        prob = scso.with_col_sumsq(_mid_logreg(m=512, n=64,
+                                               dtype=np.float64))
+        kw = dict(x_tol=1e-12, f_tol=0.0, max_epoch=80, verbose=0,
+                  alpha=1.0)
+        m_sub = scso.ProxGGNSCORE(solver="cg", cg_tol=1e-10,
+                                  curvature_rows=256)
+        m_both = dc_replace(m_sub, static_precond=True)
+        s_sub = scso.iterate(m_sub, prob, "l1", sm, **kw)
+        s_both = scso.iterate(m_both, prob, "l1", sm, **kw)
+        # the guard makes the flags equivalent on the subsampled system
+        np.testing.assert_allclose(np.asarray(s_both.x),
+                                   np.asarray(s_sub.x), atol=1e-10)

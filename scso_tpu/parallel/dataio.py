@@ -50,35 +50,102 @@ def save_array(path: str, arr, *, chunk_rows: int = 1 << 16) -> None:
                 arr[lo:lo + chunk_rows]).tobytes())
 
 
+def _npy_meta(path: str):
+    """(shape, dtype, data_offset) of a ``.npy`` without loading it."""
+    with open(path, "rb") as fh:
+        version = np.lib.format.read_magic(fh)
+        shape, fortran, dtype = np.lib.format._read_array_header(
+            fh, version)
+        if fortran:
+            raise ValueError(f"{path}: fortran-order .npy not supported")
+        return shape, dtype, fh.tell()
+
+
+def _read_rows(path: str, offset: int, file_dtype, row_shape, lo: int,
+               hi: int) -> np.ndarray:
+    """Read rows [lo, hi) of a C-order .npy into a FRESH heap buffer.
+
+    `np.fromfile` with an explicit offset, NOT a memmap slice: resident
+    memmap pages count toward host RSS and are not reliably evicted, so
+    streaming a 100-GB file through a memmap can look fully
+    host-resident; fromfile buffers are freed as soon as the chunk is
+    transferred."""
+    row_elems = int(np.prod(row_shape, dtype=np.int64)) if row_shape else 1
+    buf = np.fromfile(
+        path, dtype=file_dtype, count=(hi - lo) * row_elems,
+        offset=offset + lo * row_elems * file_dtype.itemsize)
+    return buf.reshape((hi - lo,) + tuple(row_shape))
+
+
 def load_rows_sharded(path: str, mesh: Mesh, data_axis: str = "data",
-                      *, dtype=None) -> jax.Array:
+                      *, dtype=None,
+                      chunk_bytes: Optional[int] = None) -> jax.Array:
     """Load a ``.npy`` as a device array row-sharded over ``mesh[data_axis]``.
 
-    Each addressable shard is read as a memmap slice (host RAM high-water
-    mark = one shard, not the array) and transferred directly to its
-    device — `jax.make_array_from_callback` with a NamedSharding is the
-    canonical multi-host pattern: on a pod, every process only reads the
-    rows its local devices own.
+    Default path: each addressable shard is read as a memmap slice (host
+    RAM high-water mark = one shard, not the array) and transferred
+    directly to its device — `jax.make_array_from_callback` with a
+    NamedSharding is the canonical multi-host pattern: on a pod, every
+    process only reads the rows its local devices own.
+
+    ``chunk_bytes``: bound the host high-water mark BELOW one shard —
+    the out-of-core route for shards that are themselves host-RAM-scale
+    (e.g. a 4-GiB shard per v5e chip). Each shard is assembled ON ITS
+    DEVICE from ~chunk_bytes disk reads (fresh `fromfile` buffers, not
+    resident memmap pages), so host RSS stays at one chunk regardless of
+    the matrix size; see benchmarks/outofcore_tpu.py for the measured
+    RSS assertion.
     """
-    mm = np.load(path, mmap_mode="r")
+    shape, file_dt, offset = _npy_meta(path)
     axis_size = mesh.shape[data_axis]
-    m = mm.shape[0]
+    m = shape[0]
     if m % axis_size != 0:
         raise ValueError(
             f"rows m={m} not divisible by {data_axis!r}={axis_size} "
             "(zero-row padding would rescale 1/m losses; pad the file "
             "explicitly)")
-    spec = P(data_axis, *([None] * (mm.ndim - 1)))
+    spec = P(data_axis, *([None] * (len(shape) - 1)))
     sharding = NamedSharding(mesh, spec)
-    dt = np.dtype(dtype) if dtype is not None else mm.dtype
+    dt = np.dtype(dtype) if dtype is not None else file_dt
 
-    def cb(index):
-        block = mm[index]
-        if block.dtype != dt:
-            block = block.astype(dt)
-        return np.ascontiguousarray(block)
+    if chunk_bytes is None:
+        mm = np.load(path, mmap_mode="r")
 
-    return jax.make_array_from_callback(mm.shape, sharding, cb)
+        def cb(index):
+            block = mm[index]
+            if block.dtype != dt:
+                block = block.astype(dt)
+            return np.ascontiguousarray(block)
+
+        return jax.make_array_from_callback(shape, sharding, cb)
+
+    row_bytes = max(
+        1, int(np.prod(shape[1:], dtype=np.int64)) * file_dt.itemsize)
+    chunk_rows = max(1, int(chunk_bytes) // row_bytes)
+    import jax.numpy as jnp
+
+    shards = []
+    devs = []
+    for dev, index in sharding.addressable_devices_indices_map(
+            tuple(shape)).items():
+        sl = index[0]
+        lo = sl.start or 0
+        hi = sl.stop if sl.stop is not None else m
+        shard_shape = (hi - lo,) + tuple(shape[1:])
+        with jax.default_device(dev):
+            buf = jnp.zeros(shard_shape, dt)
+        for clo in range(lo, hi, chunk_rows):
+            chi = min(clo + chunk_rows, hi)
+            block = _read_rows(path, offset, file_dt, shape[1:], clo, chi)
+            if block.dtype != dt:
+                block = block.astype(dt)
+            buf = buf.at[clo - lo:chi - lo].set(
+                jax.device_put(block, dev))
+            del block  # chunk buffer freed before the next read
+        shards.append(buf)
+        devs.append(dev)
+    return jax.make_array_from_single_device_arrays(
+        tuple(shape), sharding, shards)
 
 
 def save_problem_data(dirpath: str, A, y, *, chunk_rows: int = 1 << 16,
@@ -102,7 +169,8 @@ def save_problem_data(dirpath: str, A, y, *, chunk_rows: int = 1 << 16,
 
 def load_problem_rows_sharded(dirpath: str, x0, f, lam, mesh: Mesh,
                               data_axis: str = "data", *,
-                              dtype=None, **problem_kw) -> Problem:
+                              dtype=None, chunk_bytes=None,
+                              **problem_kw) -> Problem:
     """Build a row-sharded :class:`Problem` straight from a
     :func:`save_problem_data` directory — the out-of-host-RAM equivalent
     of ``shard_problem(make_problem(A, y, ...), mesh)``: A and y go from
@@ -118,9 +186,9 @@ def load_problem_rows_sharded(dirpath: str, x0, f, lam, mesh: Mesh,
     dt = np.dtype(dtype) if dtype is not None else np.dtype(
         manifest["dtype"])
     A = load_rows_sharded(os.path.join(dirpath, "A.npy"), mesh,
-                          data_axis, dtype=dt)
+                          data_axis, dtype=dt, chunk_bytes=chunk_bytes)
     y = load_rows_sharded(os.path.join(dirpath, "y.npy"), mesh,
-                          data_axis, dtype=dt)
+                          data_axis, dtype=dt, chunk_bytes=chunk_bytes)
     kw = dict(problem_kw)
     if manifest.get("has_test"):
         kw.setdefault("Atest", load_rows_sharded(

@@ -121,3 +121,58 @@ class TestLoadProblem:
                            scso.PHuberSmootherL1L2(1.0), max_epoch=10,
                            verbose=0)
         assert sol.fvaltest.shape[0] > 0  # test-split history recorded
+
+
+class TestChunkedLoader:
+    """chunk_bytes route: shards assembled on-device from ~chunk-sized
+    fromfile reads (the bounded-host-RSS out-of-core path used by
+    benchmarks/outofcore_tpu.py)."""
+
+    def test_chunked_equals_default(self, tmp_path):
+        A, y, x0, _ = _data(m=64, n=16)
+        p = str(tmp_path / "A.npy")
+        save_array(p, np.asarray(A))
+        mesh = make_mesh()
+        ref = load_rows_sharded(p, mesh)
+        # chunk smaller than a shard AND non-divisor of the shard rows
+        chunk = load_rows_sharded(p, mesh, chunk_bytes=3 * 16 * 8)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(chunk))
+        assert chunk.sharding == ref.sharding
+
+    def test_chunked_dtype_cast(self, tmp_path):
+        A, y, x0, _ = _data(m=32, n=8)
+        p = str(tmp_path / "A.npy")
+        save_array(p, np.asarray(A))
+        mesh = make_mesh()
+        out = load_rows_sharded(p, mesh, dtype=np.float32,
+                                chunk_bytes=1 << 10)
+        assert out.dtype == np.float32
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(A, np.float32))
+
+    def test_problem_load_chunked_solve_matches(self, tmp_path):
+        from scso_tpu._src.struct import replace as dc_replace
+
+        A, y, x0, _ = _data(m=64, n=16)
+        d = str(tmp_path / "prob")
+        save_problem_data(d, np.asarray(A), np.asarray(y))
+        mesh = make_mesh()
+        kw = dict(grad_fx=losses.logistic01_grad,
+                  out_fn=losses.sigmoid_out,
+                  grad_fy=losses.logistic_ggn_residual,
+                  hess_fy_diag=losses.logistic_ggn_qdiag,
+                  loss_fn=losses.logistic_loss_01,
+                  hvp_w=losses.logistic01_hvp_w,
+                  ggn_w=losses.logistic_ggn_w,
+                  glm=losses.LOGISTIC01_GLM)
+        p_def = load_problem_rows_sharded(
+            d, np.asarray(x0), losses.logistic01_f, 0.05, mesh, **kw)
+        p_chk = load_problem_rows_sharded(
+            d, np.asarray(x0), losses.logistic01_f, 0.05, mesh,
+            chunk_bytes=1 << 10, **kw)
+        m = scso.ProxGGNSCORE(solver="cg", cg_tol=1e-10)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        skw = dict(max_epoch=20, verbose=0, alpha=1.0)
+        s1 = scso.iterate(m, p_def, "l1", sm, **skw)
+        s2 = scso.iterate(m, p_chk, "l1", sm, **skw)
+        np.testing.assert_array_equal(np.asarray(s1.x), np.asarray(s2.x))

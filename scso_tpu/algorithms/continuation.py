@@ -151,8 +151,16 @@ def iterate_continuation(method, model: Problem, reg_name: str, h_mu, *,
                  else None),
             epochs=int(s.epochs)))
         if not final:
+            # early-stop on the gap only while the PENALTY is already at
+            # its target: a λ≠λ_target stage computes obj/obj_star with
+            # its own λ, so its relative gap is measured against a
+            # different composite objective and can cross f_tol
+            # spuriously. μ-only homotopy is safe (the true objective
+            # does not depend on μ).
+            lam_at_target = lams is None or bool(
+                np.all(np.asarray(lams[i]) == np.asarray(lams[-1])))
             gap_fired = bool(np.asarray(s.state.frel) <= f_tol)
-            if gap_fired:
+            if gap_fired and lam_at_target:
                 break
             # warm start the next stage from this stage's device iterate
             # (state.x keeps feature padding; Solution.x is sliced)

@@ -93,6 +93,13 @@ def main():
         lambda vb, Ab, yb, Zb: (
             Ab.T @ g.quad(yb, Zb, Ab @ W(vb))).reshape(-1) + lhr * vb,
         v, Ad, yd, Ad @ W(x)), 2.0)
+    from scso_tpu.ops.pallas.mglm_matvec import (
+        fused_mglm_matvec, supports_fused_mglm_matvec)
+    if supports_fused_mglm_matvec(m, p, k, 4):
+        comp["cg_matvec_fused"] = (bench_chained(
+            lambda vb, Ab, yb, Zb: fused_mglm_matvec(
+                Ab, yb, Zb, W(vb), g.quad).reshape(-1) + lhr * vb,
+            v, Ad, yd, Ad @ W(x)), 1.0)
     if getattr(g, "loss_z", None) is not None:
         comp["greedy_pass"] = (bench_chained(
             lambda xb, Ab, yb: g.loss_z(yb, Ab @ W(xb)), x, Ad, yd), 1.0)
@@ -108,19 +115,21 @@ def main():
                         grad_fx=multinom_grad, mglm=multinom_mglm(k),
                         dtype=np.float32)
     sm = scso.PHuberSmootherL1L2(1.0)
-    method = scso.ProxGGNSCORE(solver="cg", cg_maxiter=100)
     kw = dict(x_tol=1e-12, f_tol=0.0, max_epoch=40, verbose=0,
               stats_every=4, alpha=1.0)
-    run = lambda pr: scso.iterate(method, pr, "l1", sm, **kw)
-    s = run(prob)  # compile + warm
-    t0 = time.perf_counter()
-    s = run(prob)
-    dt = time.perf_counter() - t0
-    cg = (s.cg_info or {}).get("total_cg_iters", 0)
-    rows["full_epoch"] = dict(ms=round(dt / max(s.epochs, 1) * 1e3, 3),
-                              epochs=int(s.epochs),
-                              cg_iters_per_epoch=round(
-                                  cg / max(s.epochs, 1), 2))
+    for kern in ("xla", "pallas"):
+        method = scso.ProxGGNSCORE(solver="cg", cg_maxiter=100,
+                                   kernels=kern)
+        run = lambda pr: scso.iterate(method, pr, "l1", sm, **kw)
+        s = run(prob)  # compile + warm
+        t0 = time.perf_counter()
+        s = run(prob)
+        dt = time.perf_counter() - t0
+        cg = (s.cg_info or {}).get("total_cg_iters", 0)
+        rows[f"full_epoch_{kern}"] = dict(
+            ms=round(dt / max(s.epochs, 1) * 1e3, 3),
+            epochs=int(s.epochs),
+            cg_iters_per_epoch=round(cg / max(s.epochs, 1), 2))
 
     print(json.dumps(dict(shape=f"{m}x{p}x{k}", a_gb=round(a_gb, 3),
                           device=jax.devices()[0].device_kind,

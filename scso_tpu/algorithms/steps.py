@@ -36,6 +36,10 @@ from scso_tpu.ops.pallas.matvec import (
     fused_normal_matvec_sharded,
     supports_fused_normal_matvec,
 )
+from scso_tpu.ops.pallas.mglm_matvec import (
+    fused_mglm_matvec,
+    supports_fused_mglm_matvec,
+)
 from scso_tpu.ops.pallas.score_update import (
     fused_score_update,
     supports_fused_update,
@@ -481,17 +485,23 @@ def _weighted_system(method, As, x, w, lhr, prob: Problem = None):
     return mv, M_inv
 
 
-def _mo_glm_system(prob: Problem, As, ys, x, lhr):
+def _mo_glm_system(prob: Problem, As, ys, x, lhr, method=None):
     """(Z, grad_vec, matvec, preconditioner) for a multi-output GLM
     (``Problem.mglm``): Z = A·W computed ONCE (W = x.reshape(p, k)),
-    ∇f = vec(Aᵀ·gres(y, Z)), and each curvature matvec is two (m×p)·(p×k)
-    MXU matmuls around the per-sample k×k curvature action
+    ∇f = vec(Aᵀ·gres(y, Z)), and each curvature matvec applies the
+    per-sample k×k curvature action
     mv(v) = vec(Aᵀ·quad(y, Z, A·V)) + λHr∘v — the dense (m·k)×n Jacobian
     of the reference's augmented system (prox-GGN-SCORE.jl:114-135) is
-    never formed. Jacobi preconditioner from the curvature block
-    diagonals: diag ≈ Σᵢ qdiag_wᵢ·Aᵢⱼ² (exact for the diagonal part of
-    each block; the −ppᵀ off-diagonal part is dropped, keeping it SPD).
-    Row-sharded A partitions automatically under GSPMD (plain matmuls).
+    never formed. With ``method.kernels == 'pallas'`` (single-device 2-D
+    data) the matvec runs as the fused single-A-read Pallas kernel
+    (ops/pallas/mglm_matvec — measured: the two-matmul XLA pair is the
+    dominant epoch cost at bench scale, 370 GB/s effective); otherwise
+    two (m×p)·(p×k) MXU matmuls. Jacobi preconditioner from the
+    curvature block diagonals: diag ≈ Σᵢ qdiag_wᵢ·Aᵢⱼ² (exact for the
+    diagonal part of each block; the −ppᵀ off-diagonal part is dropped,
+    keeping it SPD). Row-sharded A partitions automatically under GSPMD
+    (plain matmuls; the pallas_call is not GSPMD-partitionable, so a
+    mesh-stamped problem keeps the XLA path).
     """
     g = prob.mglm
     k = int(g.n_out)
@@ -507,10 +517,21 @@ def _mo_glm_system(prob: Problem, As, ys, x, lhr):
     Z = As @ W
     grad_vec = (As.T @ g.gres(ys, Z)).reshape(-1)
 
-    def mv(v):
-        V = v.reshape(pf, k)
-        QU = g.quad(ys, Z, As @ V)
-        return (As.T @ QU).reshape(-1) + lhr * v
+    use_fused = (method is not None and method.kernels == "pallas"
+                 and getattr(prob, "mesh", None) is None
+                 and getattr(ys, "ndim", 0) == 2
+                 and supports_fused_mglm_matvec(As.shape[0], pf, k,
+                                                As.dtype.itemsize))
+    if use_fused:
+        def mv(v):
+            QU_pulled = fused_mglm_matvec(As, ys, Z, v.reshape(pf, k),
+                                          g.quad)
+            return QU_pulled.reshape(-1) + lhr * v
+    else:
+        def mv(v):
+            V = v.reshape(pf, k)
+            QU = g.quad(ys, Z, As @ V)
+            return (As.T @ QU).reshape(-1) + lhr * v
 
     tiny = jnp.finfo(x.dtype).tiny
     w = g.qdiag_w(ys, Z)
@@ -567,7 +588,7 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
         # Z = A·W, the GGN operator AᵀQA IS the Hessian — Newton-CG and
         # GGN-CG share the _mo_glm_system matvec
         _, grad_vec, mo_mv, mo_Minv = _mo_glm_system(
-            prob, As, ys, x, lam * Hr_diag)
+            prob, As, ys, x, lam * Hr_diag, method)
         gq = grad_vec + lgr
     elif use_glm:
         # single data pass for the linear predictor; gradient residual,
@@ -681,7 +702,8 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
         # multi-output GLM (vector outputs per sample): one Z = A·W pass,
         # per-sample k×k curvature actions — the scalable replacement for
         # the reference's materialized (m·k)×n augmented Jacobian
-        _, grad_vec, mv, M_inv = _mo_glm_system(prob, As, ys, x, lhr)
+        _, grad_vec, mv, M_inv = _mo_glm_system(prob, As, ys, x, lhr,
+                                                method)
         b = -(grad_vec + lam * gr)
         mv_lp = None
     elif (prob.glm is not None and prob.has_data

@@ -303,3 +303,48 @@ class TestMatrixFreeMultiOutput:
             scso.Problem(A, y, x0, multinom_f, LAM,
                          mglm=multinom_mglm(3), dtype=np.float64,
                          pad_features=True)
+
+
+class TestFusedMglmMatvec:
+    """The single-A-read Pallas mglm matvec (ops/pallas/mglm_matvec) —
+    kernel-vs-XLA parity at the op and solve levels (interpret mode on
+    CPU validates the kernel itself)."""
+
+    def test_op_parity_and_padding(self):
+        from scso_tpu.ops.pallas.mglm_matvec import (
+            fused_mglm_matvec, supports_fused_mglm_matvec)
+        from scso_tpu.models.losses import multinom_mglm
+
+        rng = np.random.default_rng(0)
+        for m, p, k in ((512, 128, 8), (700, 256, 4), (130, 128, 3)):
+            g = multinom_mglm(k)
+            A = jnp.asarray(rng.standard_normal((m, p)))
+            y = jax.nn.one_hot(jnp.asarray(rng.integers(0, k, m)), k,
+                               dtype=A.dtype)
+            W = jnp.asarray(0.1 * rng.standard_normal((p, k)))
+            V = jnp.asarray(rng.standard_normal((p, k)))
+            Z = A @ W
+            assert supports_fused_mglm_matvec(m, p, k, A.dtype.itemsize)
+            ref = A.T @ g.quad(y, Z, A @ V)
+            out = fused_mglm_matvec(A, y, Z, V, g.quad)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-10, atol=1e-12)
+
+    def test_solve_parity_pallas_vs_xla(self):
+        """A full ProxGGNSCORE(cg) mglm solve with kernels='pallas'
+        matches the XLA path."""
+        from scso_tpu._src.struct import replace as dc_replace
+        from scso_tpu.ops.pallas.counters import KERNEL_HITS
+
+        prob = make_mglm_problem(m=256, p=128, k=4)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        kw = dict(x_tol=1e-12, f_tol=0.0, max_epoch=25, verbose=0,
+                  alpha=1.0)
+        m_x = scso.ProxGGNSCORE(solver="cg", cg_tol=1e-10, kernels="xla")
+        m_p = dc_replace(m_x, kernels="pallas")
+        before = KERNEL_HITS["fused_mglm_matvec"]
+        s_x = scso.iterate(m_x, prob, "l1", sm, **kw)
+        s_p = scso.iterate(m_p, prob, "l1", sm, **kw)
+        assert KERNEL_HITS["fused_mglm_matvec"] > before  # engaged
+        np.testing.assert_allclose(np.asarray(s_p.x), np.asarray(s_x.x),
+                                   rtol=1e-8, atol=1e-10)

@@ -48,12 +48,14 @@ _KP = 128  # lane padding of the k dimension
 
 
 def _per_row_bytes(p: int, itemsize: int) -> int:
-    """VMEM bytes that scale with the tile height BR: the double-
-    buffered A tile (+ f32 upcast for narrow dtypes), an allowance for a
-    Mosaic-materialized transposed tile in the second contraction, and
-    the (BR, k→128-lane) y/Z blocks (double-buffered) + U/QU temps."""
+    """VMEM bytes that scale with the tile height BR — CALIBRATED from a
+    measured Mosaic stack allocation (18.62 MB at BR=768, p=1024, k=16 ⇒
+    ~24.8 KB/row): the double-buffered A tile (+ f32 upcast for narrow
+    dtypes), THREE p-wide f32 allowances for Mosaic-materialized
+    transposed/retiled copies around the two contractions, and the
+    lane-padded k-blocks/temps."""
     eff = 2 * itemsize + (4 if itemsize < 4 else 0)
-    return p * eff + p * 4 + 6 * _KP * 4
+    return p * (eff + 12) + 8 * _KP * 4
 
 
 def _fixed_bytes(p: int) -> int:
@@ -78,6 +80,13 @@ def supports_fused_mglm_matvec(m: int, p: int, k: int,
 
 
 def _make_kernel(quad, scale: float, acc_dtype):
+    """Variant A — k on the LANE dimension ((BR, k) intermediates).
+
+    MEASURED LOSER at k ≪ 128 (196608×1024×16 on v5e: 4.83 ms vs the
+    XLA pair's 4.36): the k dimension lane-pads to 128, so both MXU
+    contractions do 128/k× the useful FLOPs — the halved HBM traffic is
+    swamped by padded compute. Kept for k close to 128; `_make_kernel_t`
+    (k on sublanes, 8-padding) is the small-k layout."""
     def _kernel(a_ref, y_ref, z_ref, v_ref, out_ref, acc_ref):
         i = pl.program_id(0)
 
@@ -103,9 +112,45 @@ def _make_kernel(quad, scale: float, acc_dtype):
     return _kernel
 
 
+def _make_kernel_t(quad, scale: float, acc_dtype):
+    """Variant B — k on the SUBLANE dimension ((k, ·) intermediates).
+
+    All k-sized axes pad to a multiple of 8 sublanes instead of 128
+    lanes, so the two MXU contractions do ~k/8-padded work instead of
+    128-padded:  Uᵀ = Vᵀ·A_bᵀ as a lane-contraction ("nt" matmul) and
+    acc += QUᵀ·A_b as a standard "nn" matmul. The spec's rowwise `quad`
+    runs on small (BR, k) transposes of the (k, BR) blocks — VPU
+    relayouts of ≤ 64 KB, noise next to the tile DMA."""
+    def _kernel(a_ref, yt_ref, zt_ref, vt_ref, out_ref, acc_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        a = a_ref[:].astype(acc_dtype)             # (BR, p)
+        vt = vt_ref[:].astype(acc_dtype)           # (k, p)
+        Ut = jax.lax.dot_general(                  # Vᵀ·A_bᵀ → (k, BR)
+            vt, a, (((1,), (1,)), ((), ())),
+            preferred_element_type=acc_dtype)
+        QU = quad(yt_ref[:].T, zt_ref[:].T,
+                  Ut.T).astype(acc_dtype) * scale  # rowwise → (BR, k)
+        acc_ref[:] += jax.lax.dot_general(         # QUᵀ·A_b → (k, p)
+            QU.T, a, (((1,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype)
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+    return _kernel
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("quad", "m_total", "interpret"))
-def _fused_mglm_matvec(A, y, Z, V, quad, m_total, interpret=False):
+                   static_argnames=("quad", "m_total", "layout",
+                                    "interpret"))
+def _fused_mglm_matvec(A, y, Z, V, quad, m_total, layout="sublane",
+                       interpret=False):
     m, p = A.shape
     k = V.shape[-1]
     out_dtype = V.dtype
@@ -119,32 +164,57 @@ def _fused_mglm_matvec(A, y, Z, V, quad, m_total, interpret=False):
     grid = mp // br
     acc_dtype = jnp.float64 if A.dtype == jnp.float64 else jnp.float32
     scale = float(br) / float(m_total)
+    cost = pl.CostEstimate(
+        flops=4 * mp * p * k,
+        bytes_accessed=mp * p * A.dtype.itemsize,
+        transcendentals=mp * k,  # softmax-family quad
+    )
 
-    out = pl.pallas_call(
-        _make_kernel(quad, scale, acc_dtype),
+    if layout == "lane":
+        out = pl.pallas_call(
+            _make_kernel(quad, scale, acc_dtype),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((br, p), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((br, k), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((br, k), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((p, k), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((p, k), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((p, k), out_dtype),
+            scratch_shapes=[pltpu.VMEM((p, k), acc_dtype)],
+            cost_estimate=cost,
+            interpret=interpret,
+        )(A, y, Z, V)
+        return out
+
+    # sublane layout: k-sized axes ride the 8-padded sublane dimension
+    out_t = pl.pallas_call(
+        _make_kernel_t(quad, scale, acc_dtype),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((br, p), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((br, k), lambda i: (i, 0),
+            pl.BlockSpec((k, br), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((br, k), lambda i: (i, 0),
+            pl.BlockSpec((k, br), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, k), lambda i: (0, 0),
+            pl.BlockSpec((k, p), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((p, k), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((k, p), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p, k), out_dtype),
-        scratch_shapes=[pltpu.VMEM((p, k), acc_dtype)],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * mp * p * k,
-            bytes_accessed=mp * p * A.dtype.itemsize,
-            transcendentals=mp * k,  # softmax-family quad
-        ),
+        out_shape=jax.ShapeDtypeStruct((k, p), out_dtype),
+        scratch_shapes=[pltpu.VMEM((k, p), acc_dtype)],
+        cost_estimate=cost,
         interpret=interpret,
-    )(A, y, Z, V)
-    return out
+    )(A, y.T, Z.T, V.T)
+    return out_t.T
 
 
 def fused_mglm_matvec(A, y, Z, V, quad):
@@ -163,4 +233,9 @@ def fused_mglm_matvec(A, y, Z, V, quad):
         return A.T @ quad(y, Z, A @ V)
     counters.bump("fused_mglm_matvec")
     interpret = jax.default_backend() != "tpu"
-    return _fused_mglm_matvec(A, y, Z, V, quad, m, interpret=interpret)
+    # sublane layout for small k (8-padding instead of 128 — variant A's
+    # lane padding measured 8× the useful MXU work at k=16); lane layout
+    # once k is a large fraction of 128
+    layout = "sublane" if k <= 64 else "lane"
+    return _fused_mglm_matvec(A, y, Z, V, quad, m, layout=layout,
+                              interpret=interpret)

@@ -61,3 +61,9 @@ def test_multinomial():
 def test_federated():
     sol = run("09_federated")
     assert np.all(np.isfinite(sol.x))
+
+
+def test_continuation():
+    sol = run("10_continuation")
+    assert np.all(np.isfinite(sol.x))
+    assert sol.obj[-1] <= sol.obj[0]

@@ -42,6 +42,9 @@ two-config default and runs exactly one configuration):
   BENCH_MIXED=1     — bf16 coarse phase + f32 finish
   BENCH_FUSED_PREP=0/1 — force the single-pass Pallas GLM epoch prep
                       off/on (unset = AUTO by shape: on at n >= 8192)
+  BENCH_EPOCH_CACHE=0 — disable the epoch-fused greedy path (round-4:
+                      GLMCache + dual-candidate pass; unset = AUTO, on
+                      whenever greedy resolves on)
 """
 
 from __future__ import annotations
@@ -110,7 +113,8 @@ def build_problem(M, N, pad, sol=None):
     )
 
 
-def make_method(adaptive, greedy, lp, curv_rows, fused_prep):
+def make_method(adaptive, greedy, lp, curv_rows, fused_prep,
+                epoch_cache=None):
     # cg_tol=0.0 = AUTO = the measured 3e-4 inexact-Newton knee
     # (deliberately NOT sqrt(eps(f32)) = 3.45e-4 — that value creeps at
     # the 1e-6 endgame, 447 vs 41 epochs; see steps._cg_tol). Epochs-to-
@@ -127,7 +131,8 @@ def make_method(adaptive, greedy, lp, curv_rows, fused_prep):
                              curvature_rows=curv_rows,
                              greedy_alpha=greedy,
                              static_precond=static_precond,
-                             use_fused_prep=fused_prep)
+                             use_fused_prep=fused_prep,
+                             epoch_cache=epoch_cache)
 
 
 def run_config(M, N, pad, method, use_mixed=False):
@@ -240,23 +245,30 @@ def run_config(M, N, pad, method, use_mixed=False):
     jax.block_until_ready(x)
     cold_ms_per_step = (time.perf_counter() - t0) / n_rep * 1e3
 
-    from scso_tpu.algorithms.steps import use_greedy
+    from scso_tpu.algorithms.steps import epoch_cache_enabled, use_greedy
 
-    greedy_on = use_greedy(method, N)
+    greedy_on = use_greedy(method, N, prob_t)
+    cache_on = epoch_cache_enabled(method, prob_t, "l1", True)
     warm_epoch_ms = t_solve / max(epochs, 1) * 1e3
     # effective HBM throughput per timed epoch, measured against the
-    # A-bytes the epoch streams (the epoch_audit.py accounting): one
-    # prep pass + one pass per CG iteration + the greedy trial's pass +
-    # the amortized stats pass
+    # A-bytes the epoch streams (the epoch_audit.py accounting). With
+    # the round-4 epoch-fused greedy path: ONE dual-candidate pass
+    # (trial + next prep + stats) + one pass per CG iteration. Without:
+    # prep + CG + (greedy trial: F(x') and, when prep didn't cache z,
+    # F(x)) + the amortized stats pass.
     a_gb = M * n_pad * 4 / 1e9
-    passes = (1.0 + cg_total / max(epochs, 1) + (1.0 if greedy_on else 0.0)
-              + 1.0 / 4)  # stats_every=4
+    if cache_on:
+        passes = 1.0 + cg_total / max(epochs, 1)
+    else:
+        passes = (1.0 + cg_total / max(epochs, 1)
+                  + (2.0 if greedy_on else 0.0) + 1.0 / 4)  # stats_every=4
     eff_gb_s = a_gb * passes / (warm_epoch_ms / 1e3)
 
     cfg = (f"{M}x{N}" + ("(pad)" if pad else "") + " "
            + ("bf16+f32 mixed" if use_mixed else "f32")
            + ("+EWforcing" if method.cg_adaptive else "")
            + ("+greedy" if greedy_on else "")
+           + ("+epochcache" if cache_on else "")
            + ("+lpCG" if method.cg_lp_tol > 0 else "")
            + ("+staticM" if method.static_precond else "")
            + (f"+curv{method.curvature_rows}" if method.curvature_rows
@@ -512,12 +524,15 @@ def main():
     # tri-state: unset = AUTO (shape-aware; wins at n>=8192, loses small)
     _fp_env = os.environ.get("BENCH_FUSED_PREP")
     fused_prep = None if _fp_env is None else bool(int(_fp_env))
+    _ec_env = os.environ.get("BENCH_EPOCH_CACHE")
+    epoch_cache = None if _ec_env is None else bool(int(_ec_env))
     mixed = _flag("BENCH_MIXED", "0")
     if lp and not adaptive:
         print("bench: BENCH_LP=1 implies BENCH_ADAPTIVE=1 (fixed forcing "
               "never engages the lp path)", file=sys.stderr)
         adaptive = True
-    method = make_method(adaptive, greedy, lp, curv, fused_prep)
+    method = make_method(adaptive, greedy, lp, curv, fused_prep,
+                         epoch_cache)
 
     if env_shape or not on_tpu:
         # single-config mode: explicit shape, or the CPU fallback (the

@@ -42,7 +42,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from scso_tpu.algorithms.methods import ProxGGNSCORE, ProxLQNSCORE, ProxNSCORE
-from scso_tpu.algorithms.steps import StepOut, ggn_step, lbfgs_step, newton_step, _cw, _lam_scalar
+from scso_tpu.algorithms.steps import (
+    GLMCache, StepOut, epoch_cache_enabled, ggn_step, lbfgs_step,
+    newton_step, no_glm_cache, prime_glm_cache, _cw, _lam_scalar)
 from scso_tpu.ops.lbfgs_core import LBFGSMemory, init_memory
 from scso_tpu.problems import Problem
 from scso_tpu._src.struct import replace as dc_replace
@@ -124,6 +126,8 @@ class Carry(NamedTuple):
     pri_res: jax.Array
     done: jax.Array
     mem: LBFGSMemory
+    fcache: GLMCache  # epoch-fused greedy prep cache (steps.GLMCache;
+    #                   zero-size placeholder when the path is disabled)
     hist: History
     key: jax.Array
 
@@ -165,9 +169,13 @@ class Solution:
 
 
 def _stats(prob: Problem, reg_name: str, x, obj_star, x_tol, f_tol,
-           metric_fns):
-    """One epoch's bookkeeping — parity: iterate.jl:189-202."""
-    fval = prob.f_val(prob.A, prob.y, x)
+           metric_fns, fval=None):
+    """One epoch's bookkeeping — parity: iterate.jl:189-202.
+
+    ``fval`` short-circuits the full-data objective pass when the caller
+    already knows f(x) (the epoch-fused greedy path carries it)."""
+    if fval is None:
+        fval = prob.f_val(prob.A, prob.y, x)
     obj = fval + prob.reg(reg_name, x)
     x_star = prob.x_star
     if reg_name == "gl":
@@ -348,6 +356,11 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
     batching = _make_batches(prob, opts, n)
     is_lbfgs = isinstance(method, ProxLQNSCORE)
     cache_grads = is_lbfgs and batching is None
+    # epoch-fused greedy path: prime a GLMCache at x0 and let every
+    # epoch run cached prep → CG → ONE dual-candidate pass (greedy trial
+    # + next epoch's prep + stats objective) — see steps.GLMCache
+    use_fcache = epoch_cache_enabled(method, prob, reg_name,
+                                     batching is None)
 
     lam = _lam_scalar(prob.lam)
     cw = _cw(prob, reg_name)
@@ -356,15 +369,17 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
         return prob.grad_f(As, ys, x) + lam * sm.grad(x, cw)
 
     def do_step(As, ys, x, x_prev, gq, gq_prev, it, mem,
-                d_prev, bn_prev) -> StepOut:
+                d_prev, bn_prev, fcache=None) -> StepOut:
         if isinstance(method, ProxNSCORE):
             return newton_step(method, prob, reg_name, sm, As, ys, x,
                                x_prev, gq_prev, it, mem, d_prev=d_prev,
-                               bnorm_prev=bn_prev)
+                               bnorm_prev=bn_prev,
+                               fcache=fcache if use_fcache else None)
         if isinstance(method, ProxGGNSCORE):
             return ggn_step(method, prob, reg_name, sm, As, ys, x,
                             x_prev, gq_prev, it, mem, d_prev=d_prev,
-                            bnorm_prev=bn_prev)
+                            bnorm_prev=bn_prev,
+                            fcache=fcache if use_fcache else None)
         return lbfgs_step(method, prob, reg_name, sm, As, ys, x, x_prev,
                           gq_prev, it, mem,
                           gq_cached=gq if cache_grads else None)
@@ -381,9 +396,34 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
         rh = resume.hist
         hist_r = pad_history(rh, cap)._replace(
             n_rec=jnp.maximum(jnp.asarray(rh.n_rec, jnp.int32) - 1, 0))
-        carry0 = Carry(*jax.tree.map(jnp.asarray, tuple(resume[:-2])),
-                       hist=hist_r, key=jnp.asarray(resume.key))
+        x_r = jnp.asarray(resume.x)
+        rfc = getattr(resume, "fcache", None)
+        if use_fcache:
+            m_rows = prob.A.shape[0]
+            if (rfc is not None
+                    and tuple(getattr(rfc.w, "shape", (0,))) == (m_rows,)):
+                fc_r = jax.tree.map(jnp.asarray, GLMCache(*rfc))
+            else:
+                # saved before the cache existed / with it disabled —
+                # re-prime at the resumed iterate (one A-pass)
+                fc_r = prime_glm_cache(method, prob, x_r)
+        else:
+            fc_r = no_glm_cache(dt)
+        carry0 = Carry(
+            x=x_r, x_prev=jnp.asarray(resume.x_prev),
+            gq=jnp.asarray(resume.gq),
+            gq_prev=jnp.asarray(resume.gq_prev),
+            d_prev=jnp.asarray(resume.d_prev),
+            cg_total=jnp.asarray(resume.cg_total),
+            bnorm_prev=jnp.asarray(resume.bnorm_prev),
+            frel=jnp.asarray(resume.frel), k=jnp.asarray(resume.k),
+            pri_res=jnp.asarray(resume.pri_res),
+            done=jnp.asarray(resume.done),
+            mem=jax.tree.map(jnp.asarray, resume.mem), fcache=fc_r,
+            hist=hist_r, key=jnp.asarray(resume.key))
     else:
+        fc0 = (prime_glm_cache(method, prob, prob.x0) if use_fcache
+               else no_glm_cache(dt))
         carry0 = Carry(
             x=prob.x0, x_prev=prob.x0, gq=gq0,
             gq_prev=jnp.zeros_like(prob.x0),
@@ -391,13 +431,14 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
             bnorm_prev=jnp.asarray(jnp.nan, dt),
             frel=jnp.asarray(jnp.inf, dt),
             k=jnp.int32(0), pri_res=jnp.asarray(jnp.nan, dt),
-            done=jnp.asarray(False), mem=mem0, hist=hist0,
+            done=jnp.asarray(False), mem=mem0, fcache=fc0, hist=hist0,
             key=jax.random.PRNGKey(rng_seed),
         )
 
     def with_stats(carry: Carry):
         fval, obj, rel, objrel, raw_frel, ftst, mvals = _stats(
-            prob, reg_name, carry.x, obj_star, x_tol, f_tol, metric_fns
+            prob, reg_name, carry.x, obj_star, x_tol, f_tol, metric_fns,
+            fval=carry.fcache.loss if use_fcache else None,
         )
         if opts.verbose > 1:
             # show_stat!-style block (utils/utils.jl:50-79); Δtime is
@@ -421,12 +462,14 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
         if batching is None:
             out = do_step(prob.A, prob.y, carry.x, carry.x_prev,
                           carry.gq, carry.gq_prev, it, carry.mem,
-                          carry.d_prev, carry.bnorm_prev)
+                          carry.d_prev, carry.bnorm_prev,
+                          fcache=carry.fcache)
             x, x_prev = out.x_new, carry.x
             gq, gq_prev = out.gq_new, out.gq
             pri, mem, d_prev = out.pri_res_norm, out.mem, out.d
             cg_total = carry.cg_total + out.cg_iters
             bn_prev = out.bnorm
+            fcache = out.fcache if use_fcache else carry.fcache
             key = carry.key
         else:
             nb, bs, rem = batching
@@ -478,6 +521,7 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
                 sc = batch_step(sc, A_rem, y_rem)
             (x, x_prev, gq, gq_prev, d_prev, bn_prev, cg_total, pri,
              done_in, mem) = sc
+            fcache = carry.fcache  # cache path requires full-batch
 
         # stopping: parity with the inner+outer triple test
         # (iterate.jl:234, 257)
@@ -491,7 +535,7 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
                      d_prev=d_prev, cg_total=cg_total, bnorm_prev=bn_prev,
                      frel=raw_frel,
                      k=carry.k + 1, pri_res=pri, done=conv, mem=mem,
-                     hist=carry.hist, key=key)
+                     fcache=fcache, hist=carry.hist, key=key)
 
     def cond(carry: Carry):
         return (~carry.done) & (carry.k < max_epoch)
@@ -561,7 +605,8 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
 
     # final record at the terminating iterate
     fval, obj, rel, objrel, _, ftst, mvals = _stats(
-        prob, reg_name, carry.x, obj_star, x_tol, f_tol, metric_fns
+        prob, reg_name, carry.x, obj_star, x_tol, f_tol, metric_fns,
+        fval=carry.fcache.loss if use_fcache else None,
     )
     hist = _record(carry.hist, fval, obj, rel, objrel, carry.pri_res,
                    ftst, mvals)

@@ -95,6 +95,9 @@ class ProxNSCORE:
     #: all of A) at the cost of preconditioner quality only (the CG
     #: operator and solution are unchanged; exact for least squares).
     static_precond: bool = False
+    #: epoch-fused greedy path — see ProxGGNSCORE.epoch_cache (newton
+    #: flavor: the cache carries gres/hvp_w TRUE-Hessian weights)
+    epoch_cache: Optional[bool] = None
     kernels: str = "auto"
     name: str = "prox-newtonscore"
     label: str = "Prox-N-SCORE"
@@ -169,6 +172,17 @@ class ProxGGNSCORE:
     #: and the kernel's halved tiles cost more than they save). The
     #: 8192 threshold enables it only in the measured-win regime.
     use_fused_prep: Optional[bool] = None
+    #: epoch-fused greedy path (steps.GLMCache + the dual-candidate
+    #: fused_glm_prep_pair kernel): carry the GLM prep across epochs so
+    #: each epoch costs ONE non-CG A-pass (the pass that is
+    #: simultaneously the greedy trial objective, the damped candidate's
+    #: objective, the next epoch's CG prep and the stats fval) instead
+    #: of ~3.25. None (default) = AUTO: on whenever the structural
+    #: requirements hold (see steps.epoch_cache_enabled — GGN-CG +
+    #: greedy + full-batch single-device GLM with loss_sample); False
+    #: forces the round-3 uncached path (same fixed points; trajectories
+    #: may differ in ulps through the greedy accept test).
+    epoch_cache: Optional[bool] = None
     name: str = "prox-ggnscore"
     label: str = "Prox-GGN-SCORE"
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from scso_tpu.algorithms.methods import ProxGGNSCORE, ProxLQNSCORE, ProxNSCORE
 from scso_tpu.ops.lbfgs_core import LBFGSMemory, two_loop, update_memory
 from scso_tpu.ops.linalg import armijo_linesearch, cg_solve, inv_bb_step
-from scso_tpu.ops.pallas.glm_prep import fused_glm_prep
+from scso_tpu.ops.pallas.glm_prep import fused_glm_prep, fused_glm_prep_pair
 from scso_tpu.ops.pallas.matvec import (
     fused_normal_matvec,
     fused_normal_matvec_sharded,
@@ -50,6 +50,33 @@ from scso_tpu.ops.smoothers import get_Mg
 from scso_tpu.problems import Problem
 
 
+class GLMCache(NamedTuple):
+    """Cross-epoch GLM epoch-prep cache (the epoch-fused greedy path).
+
+    Invariant: all four fields correspond to the CURRENT iterate x —
+    they were computed by the previous epoch's dual-candidate pass
+    (fused_glm_prep_pair) for whichever candidate won, or by the priming
+    pass at x0. ``loss`` is the DATA loss f(x) at prob.f_val's scale, so
+    it doubles as the stats record's fval (no stats data pass).
+    Everything here depends only on (A, y, z=A·x) — NOT on λ or μ — so a
+    cache stays valid across continuation stages."""
+
+    w: jax.Array        # (m,) CG matvec weights at x
+    b_raw: jax.Array    # (n,) Aᵀ·rw(y, A·x)
+    hd_raw: jax.Array   # (n,) Σᵢ wᵢ·Aᵢⱼ² (Jacobi diagonal, data part)
+    loss: jax.Array     # ()   f(x) — data loss, normalized
+
+
+def no_glm_cache(dtype=jnp.float32) -> GLMCache:
+    """Placeholder carried when the epoch cache is disabled (the
+    while_loop carry needs a fixed pytree structure per compiled
+    program). A function, not a constant: building device arrays at
+    import time would initialize the backend before config updates."""
+    return GLMCache(w=jnp.zeros((0,), dtype), b_raw=jnp.zeros((0,), dtype),
+                    hd_raw=jnp.zeros((0,), dtype),
+                    loss=jnp.zeros((), dtype))
+
+
 class StepOut(NamedTuple):
     x_new: jax.Array
     pri_res_norm: jax.Array
@@ -62,6 +89,8 @@ class StepOut(NamedTuple):
     bnorm: jax.Array = None  # EW forcing s_ref (first outer step length,
     #                          NaN until set) — see _forcing_tol; not a
     #                          CG rhs norm despite the field's name
+    fcache: GLMCache = None  # updated epoch cache (epoch-fused greedy
+    #                          path only; None otherwise)
 
 
 # solver='auto' size budgets: above these the dense branches (n×n
@@ -485,6 +514,205 @@ def _weighted_system(method, As, x, w, lhr, prob: Problem = None):
     return mv, M_inv
 
 
+def _glm_kernel_fns(g, m_total, flavor: str = "ggn"):
+    """Tile-safe (rw_fn, w_fn, loss_fn) closures for the fused GLM prep
+    kernels. ``flavor``:
+      * 'ggn'    — rw = σ'·res (RHS pullback weights), w = σ'²·qdiag
+        (GGN matvec weights), saturation-stable product forms when the
+        spec provides them;
+      * 'newton' — rw = gres (gradient residual: ∇f = Aᵀ·gres), w =
+        hvp_w (TRUE Hessian weights: ∇²f·v = Aᵀ(w∘(Av))).
+    Each is rescaled from the tile's sample count to the true m when the
+    spec is sample-normalized (contract: GLMSpec.sample_normalized —
+    inside a tiled kernel z.shape[0] is the TILE size). ``loss_fn`` is
+    the RAW per-sample loss (GLMSpec.loss_sample; None when absent)."""
+
+    def _norm_fix(val, zb):
+        if g.sample_normalized and zb.shape[0] != m_total:
+            return val * (zb.shape[0] / m_total)
+        return val
+
+    if flavor == "newton":
+        rw_fn = lambda yb, zb: _norm_fix(g.gres(yb, zb), zb)
+        w_fn = lambda yb, zb: _norm_fix(g.hvp_w(yb, zb), zb)
+        return rw_fn, w_fn, g.loss_sample
+    if flavor != "ggn":
+        raise ValueError(f"unknown GLM kernel flavor {flavor!r}")
+
+    def rw_fn(yb, zb):
+        if g.ggn_rw is not None:
+            return _norm_fix(g.ggn_rw(yb, zb), zb)
+        return _norm_fix(g.dlink(zb) * g.res(yb, g.link(zb)), zb)
+
+    def w_fn(yb, zb):
+        if g.ggn_w is not None:
+            return _norm_fix(g.ggn_w(yb, zb), zb)
+        sp = g.dlink(zb)
+        return _norm_fix(sp * sp * g.qdiag(yb, g.link(zb)), zb)
+
+    return rw_fn, w_fn, g.loss_sample
+
+
+def _loss_scale(g, m_total):
+    """loss_z = scale · Σ loss_sample — see GLMSpec.loss_sample."""
+    return (1.0 / m_total) if g.sample_normalized else 1.0
+
+
+def epoch_cache_enabled(method, prob: Problem, reg_name: str,
+                        full_batch: bool) -> bool:
+    """Static predicate for the epoch-fused greedy path (GLMCache).
+
+    When true, the driver primes a GLMCache at x0 and every epoch runs:
+      * the GGN-CG direction with ZERO prep A-passes (RHS/weights/Jacobi
+        from the cache),
+      * the greedy trial + the NEXT epoch's prep as ONE dual-candidate
+        A-pass (fused_glm_prep_pair),
+      * the stats objective from the cached loss (no stats data pass)
+    — ~2.9 A-passes/epoch instead of ~5.15 at the bench shape.
+
+    Requirements (all static at trace time): ProxGGNSCORE or ProxNSCORE
+    on the matrix-free CG path, a single-output GLM spec with loss_z AND
+    loss_sample, greedy damping resolved ON, full-batch data, no mesh
+    sharding (the pair kernel is not GSPMD-partitionable), and none of
+    the opt-in CG variants that re-derive the system per epoch
+    (curvature_rows, cg_lp_tol, static_precond).
+    """
+    if (not isinstance(method, (ProxGGNSCORE, ProxNSCORE))
+            or method.ss_type != 1):
+        return False
+    if getattr(method, "epoch_cache", None) is False:
+        return False
+    g = prob.glm
+    if (g is None or g.loss_z is None or g.loss_sample is None
+            or not prob.has_data or getattr(prob.A, "ndim", 0) != 2):
+        return False
+    if not full_batch or getattr(prob, "mesh", None) is not None:
+        return False
+    if (int(getattr(method, "curvature_rows", 0) or 0) > 0
+            or float(getattr(method, "cg_lp_tol", 0.0)) > 0
+            or getattr(method, "static_precond", False)):
+        return False
+    n_eff = prob.n_true if prob.n_true is not None else prob.x0.shape[-1]
+    if not use_greedy(method, n_eff, prob):
+        return False
+    if isinstance(method, ProxNSCORE):
+        return _resolve_newton_solver(method, prob.x0) == "cg"
+    return _resolve_ggn_solver(method, prob, prob.A, prob.x0) == "cg"
+
+
+def _cache_flavor(method) -> str:
+    return "newton" if isinstance(method, ProxNSCORE) else "ggn"
+
+
+def prime_glm_cache(method, prob: Problem, x, As=None, ys=None) -> GLMCache:
+    """Build the epoch cache at iterate x with ONE A-pass (the pair
+    kernel with both candidates = x; the duplicate candidate costs only
+    VPU flops on a bandwidth-bound pass)."""
+    As = prob.A if As is None else As
+    ys = prob.y if ys is None else ys
+    g = prob.glm
+    rw_fn, w_fn, loss_fn = _glm_kernel_fns(g, As.shape[0],
+                                           _cache_flavor(method))
+    if method.kernels != "pallas":
+        # jnp route: one matmul + pullbacks (vmap/CPU-safe)
+        z = As @ x
+        return GLMCache(
+            w=w_fn(ys, z), b_raw=As.T @ rw_fn(ys, z),
+            hd_raw=jnp.einsum("i,ij,ij->j", w_fn(ys, z), As, As),
+            loss=jnp.sum(loss_fn(ys, z)) * _loss_scale(g, As.shape[0]))
+    pp = fused_glm_prep_pair(As, ys, x, x, rw_fn, w_fn, loss_fn)
+    return GLMCache(w=pp.w_t, b_raw=pp.b_t, hd_raw=pp.hd_t,
+                    loss=pp.loss_t * _loss_scale(g, As.shape[0]))
+
+
+def _ggn_cg_from_cache(method, prob: Problem, As, x, gr, Hr_diag, lam,
+                       cache: GLMCache, d_prev, it, bnorm_prev, x_prev):
+    """GGN-CG direction with ZERO prep A-passes: the RHS pullback,
+    matvec weights and Jacobi diagonal come from the carried GLMCache
+    (computed by the previous epoch's dual-candidate pass, or the
+    priming pass at x0). Only the smoother tail (λ·gr, λ·Hr) is fresh —
+    it depends on λ/μ/x but not on A."""
+    lhr = lam * Hr_diag
+    b = -(cache.b_raw + lam * gr)
+    tiny = jnp.finfo(x.dtype).tiny
+    hdiag = cache.hd_raw + lhr
+    M_inv = lambda v: v / jnp.maximum(hdiag, tiny)
+    w = cache.w
+    if (method.kernels == "pallas"
+            and supports_fused_normal_matvec(*As.shape,
+                                             As.dtype.itemsize)):
+        mv = lambda v: fused_normal_matvec(As, w, v) + lhr * v
+    else:
+        mv = lambda v: As.T @ (w * (As @ v)) + lhr * v
+    xp = x if x_prev is None else x_prev
+    tol, bnorm = _forcing_tol(method, b, x, xp, bnorm_prev, it)
+    res = cg_solve(mv, b, d_prev, tol=tol, maxiter=method.cg_maxiter,
+                   M_inv=M_inv)
+    return res.x, res.iters, bnorm
+
+
+def _greedy_update_cached(method, prob: Problem, reg_name, sm, As, ys,
+                          x, d, step_size, lam, lgr, Hr_diag,
+                          cache: GLMCache):
+    """Greedy SCORE damping via the dual-candidate fused pass.
+
+    Semantics match _greedy_prox_update exactly — trial the UNDAMPED
+    prox step, accept iff the true composite objective strictly
+    decreases, else take the SCORE-damped step — but the trial
+    objective, the damped candidate's objective AND the next epoch's
+    full CG prep for BOTH candidates come from ONE pass over A
+    (fused_glm_prep_pair), with F(x) carried in the cache instead of
+    recomputed. Whichever candidate wins, its prep columns become the
+    new cache. NaN-safe like the uncached path: a diverged trial loss
+    fails the strict `<` test.
+    """
+    x_damped, pri_d, dx_d = _damped_prox_update(
+        method, prob, reg_name, sm, x, d, step_size, lam, lgr, Hr_diag)
+    if method.use_prox:
+        lam_prox = prob.lam if reg_name == "gl" else lam
+        x_trial = prox_step(
+            reg_name, x + d, 1.0 / Hr_diag, lam_prox, step_size,
+            lb=prob.lb, ub=prob.ub, groups=prob.groups,
+        )
+    else:
+        x_trial = x + d
+    g = prob.glm
+    m_total = As.shape[0]
+    rw_fn, w_fn, loss_fn = _glm_kernel_fns(g, m_total,
+                                           _cache_flavor(method))
+    if method.kernels == "pallas":
+        pp = fused_glm_prep_pair(As, ys, x_trial, x_damped,
+                                 rw_fn, w_fn, loss_fn)
+    else:
+        # jnp fallback (CPU tests, vmapped sweeps): same outputs, one
+        # batched A@[x_t x_d] matmul + per-column pullbacks
+        from scso_tpu.ops.pallas.glm_prep import PairPrep
+        Z2 = As @ jnp.stack([x_trial, x_damped], axis=1)
+
+        def col(z):
+            w_ = w_fn(ys, z)
+            return (w_, As.T @ rw_fn(ys, z),
+                    jnp.einsum("i,ij,ij->j", w_, As, As),
+                    jnp.sum(loss_fn(ys, z)))
+
+        wt, bt, ht, lt = col(Z2[:, 0])
+        wd, bd, hd, ld = col(Z2[:, 1])
+        pp = PairPrep(wt, wd, bt, bd, ht, hd, lt, ld)
+    scale = _loss_scale(g, m_total)
+    loss_t = pp.loss_t * scale
+    loss_d = pp.loss_d * scale
+    F_t = loss_t + prob.reg(reg_name, x_trial)
+    F_x = cache.loss + prob.reg(reg_name, x)
+    accept = F_t < F_x
+    sel = lambda a, b: jnp.where(accept, a, b)
+    x_new = sel(x_trial, x_damped)
+    pri = sel(jnp.linalg.norm(x_trial - x), pri_d)
+    dx = sel(d, dx_d)
+    fc = GLMCache(w=sel(pp.w_t, pp.w_d), b_raw=sel(pp.b_t, pp.b_d),
+                  hd_raw=sel(pp.hd_t, pp.hd_d), loss=sel(loss_t, loss_d))
+    return x_new, pri, dx, fc
+
+
 def _mo_glm_system(prob: Problem, As, ys, x, lhr, method=None):
     """(Z, grad_vec, matvec, preconditioner) for a multi-output GLM
     (``Problem.mglm``): Z = A·W computed ONCE (W = x.reshape(p, k)),
@@ -561,14 +789,16 @@ def _glm_cg_system(method, prob: Problem, As, ys, x, lhr, weight_fn,
 
 def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
                 As, ys, x, x_prev, gq_prev, it, mem: LBFGSMemory,
-                d_prev=None, bnorm_prev=None) -> StepOut:
+                d_prev=None, bnorm_prev=None, fcache=None) -> StepOut:
     """Full (quasi-)Newton step with self-concordant damping.
 
     Direction: d = −(∇²f + λ·diag(Hr))⁻¹ (∇f + λ·gr)
     — dense solve (prox-N-SCORE.jl:69-71) or matrix-free Newton-CG.
     ``d_prev`` (the previous epoch's direction) warm-starts CG: near
     convergence consecutive Newton systems barely change, so the previous
-    solution is an excellent initial guess.
+    solution is an excellent initial guess. With ``fcache`` (driver-
+    primed GLMCache, newton flavor: gres/hvp_w weights) the step runs
+    the epoch-fused greedy path like ggn_step.
     """
     lam = _lam_scalar(prob.lam)
     cw = _cw(prob, reg_name)
@@ -576,6 +806,20 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
     lgr = lam * gr
     Hr_diag = sm.hess_diag(x, cw)
     solver = _resolve_newton_solver(method, x)
+
+    if solver == "cg" and fcache is not None:
+        d, cg_iters, bnorm = _ggn_cg_from_cache(
+            method, prob, As, x, gr, Hr_diag, lam, fcache, d_prev,
+            it, bnorm_prev, x_prev)
+        ss = _resolve_step_size(method, prob, sm, reg_name, As, ys,
+                                x, x_prev, jnp.zeros_like(x), gq_prev,
+                                d, it, cw)
+        x_new, pri, dx, fc_new = _greedy_update_cached(
+            method, prob, reg_name, sm, As, ys, x, d, ss, lam, lgr,
+            Hr_diag, fcache)
+        return StepOut(x_new, pri, dx, jnp.zeros_like(x),
+                       jnp.zeros_like(x), mem, d, cg_iters, bnorm,
+                       fcache=fc_new)
 
     use_glm = (prob.glm is not None and prob.has_data
                and getattr(As, "ndim", 0) == 2 and solver == "cg")
@@ -716,25 +960,7 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
         # (NaN fails the residual test at iteration 0).
         g = prob.glm
         m_total = As.shape[0]
-
-        def _norm_fix(val, zb):
-            # spec fns normalize by their input length; inside a tiled
-            # kernel that's the TILE size — rescale to the true m
-            # (contract: GLMSpec.sample_normalized)
-            if g.sample_normalized and zb.shape[0] != m_total:
-                return val * (zb.shape[0] / m_total)
-            return val
-
-        def rw_fn(yb, zb):
-            if g.ggn_rw is not None:
-                return _norm_fix(g.ggn_rw(yb, zb), zb)
-            return _norm_fix(g.dlink(zb) * g.res(yb, g.link(zb)), zb)
-
-        def w_fn(yb, zb):
-            if g.ggn_w is not None:
-                return _norm_fix(g.ggn_w(yb, zb), zb)
-            sp = g.dlink(zb)
-            return _norm_fix(sp * sp * g.qdiag(yb, g.link(zb)), zb)
+        rw_fn, w_fn, _ = _glm_kernel_fns(g, m_total)
 
         K = int(getattr(method, "curvature_rows", 0) or 0)
         subsample = (0 < K < m_total
@@ -837,8 +1063,13 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
 
 def ggn_step(method: ProxGGNSCORE, prob: Problem, reg_name: str, sm,
              As, ys, x, x_prev, gq_prev, it, mem: LBFGSMemory,
-             d_prev=None, bnorm_prev=None) -> StepOut:
-    """Generalized Gauss-Newton step with self-concordant damping."""
+             d_prev=None, bnorm_prev=None, fcache=None) -> StepOut:
+    """Generalized Gauss-Newton step with self-concordant damping.
+
+    With ``fcache`` (a GLMCache primed by the driver when
+    epoch_cache_enabled) the step runs the epoch-fused greedy path:
+    cached prep → CG → one dual-candidate pass that is both the greedy
+    trial and the next epoch's prep."""
     lam = _lam_scalar(prob.lam)
     cw = _cw(prob, reg_name)
     gr = sm.grad(x, cw)
@@ -848,6 +1079,19 @@ def ggn_step(method: ProxGGNSCORE, prob: Problem, reg_name: str, sm,
     solver = _resolve_ggn_solver(method, prob, As, x)
     bnorm = jnp.asarray(0.0, x.dtype)
     z_cache = None
+    if solver == "cg" and fcache is not None:
+        d, cg_iters, bnorm = _ggn_cg_from_cache(
+            method, prob, As, x, gr, Hr_diag, lam, fcache, d_prev,
+            it, bnorm_prev, x_prev)
+        ss = _resolve_step_size(method, prob, sm, reg_name, As, ys,
+                                x, x_prev, jnp.zeros_like(x), gq_prev,
+                                d, it, cw)
+        x_new, pri, dx, fc_new = _greedy_update_cached(
+            method, prob, reg_name, sm, As, ys, x, d, ss, lam, lgr,
+            Hr_diag, fcache)
+        return StepOut(x_new, pri, dx, jnp.zeros_like(x),
+                       jnp.zeros_like(x), mem, d, cg_iters, bnorm,
+                       fcache=fc_new)
     if solver == "cg":
         d, cg_iters, bnorm, z_cache = _ggn_cg_direction(
             method, prob, As, ys, x, gr, Hr_diag, lam, d_prev,

@@ -249,6 +249,7 @@ LOGISTIC01_GLM = GLMSpec(
         + (1.0 - y) * jax.nn.sigmoid(z) ** 2
     ) / z.shape[0],
     loss_z=lambda y, z: jnp.mean(jax.nn.softplus(z) - y * z),
+    loss_sample=lambda y, z: jax.nn.softplus(z) - y * z,
 )
 
 LSQ_GLM = GLMSpec(
@@ -261,6 +262,7 @@ LSQ_GLM = GLMSpec(
     ggn_rw=lambda y, z: (z - y) / z.shape[0],
     ggn_w=lambda y, z: jnp.full_like(z, 1.0 / z.shape[0]),
     loss_z=lambda y, z: 0.5 * jnp.sum((z - y) ** 2) / z.shape[0],
+    loss_sample=lambda y, z: 0.5 * (z - y) ** 2,
 )
 
 
@@ -340,6 +342,7 @@ POISSON_GLM = GLMSpec(
     ggn_rw=lambda y, z: (jnp.exp(z) - y) / z.shape[0],
     ggn_w=lambda y, z: jnp.broadcast_to(y / z.shape[0], z.shape),
     loss_z=lambda y, z: jnp.mean(jnp.exp(z) - y * z),
+    loss_sample=lambda y, z: jnp.exp(z) - y * z,
 )
 
 

@@ -16,6 +16,7 @@ KERNEL_HITS: dict = {
     "fused_score_update": 0,
     "fused_two_loop": 0,
     "fused_glm_prep": 0,
+    "fused_glm_prep_pair": 0,
     "fused_mglm_matvec": 0,
 }
 

@@ -67,6 +67,14 @@ class GLMSpec(NamedTuple):
     #: greedy-α trial (methods' ``greedy_alpha``) evaluate the composite
     #: objective from one linear-predictor pass instead of calling f.
     loss_z: Optional[Callable] = None
+    #: PER-SAMPLE loss ℓ(y, z), elementwise and UNNORMALIZED — the
+    #: tileable form of ``loss_z``: when ``sample_normalized``,
+    #: loss_z(y, z) == sum(loss_sample(y, z)) / len(z) (plain sum
+    #: otherwise). Declaring it unlocks the epoch-fused greedy path
+    #: (ops/pallas/glm_prep.fused_glm_prep_pair): the greedy trial, the
+    #: next epoch's CG prep AND the stats objective all come from ONE
+    #: pass over A (steps._greedy_update_cached).
+    loss_sample: Optional[Callable] = None
 
 
 class MOGLMSpec(NamedTuple):

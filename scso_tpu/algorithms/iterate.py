@@ -43,8 +43,9 @@ from jax import lax
 
 from scso_tpu.algorithms.methods import ProxGGNSCORE, ProxLQNSCORE, ProxNSCORE
 from scso_tpu.algorithms.steps import (
-    GLMCache, StepOut, epoch_cache_enabled, ggn_step, lbfgs_step,
-    newton_step, no_glm_cache, prime_glm_cache, _cw, _lam_scalar)
+    GLMCache, MOGLMCache, StepOut, epoch_cache_enabled, ggn_step,
+    lbfgs_step, newton_step, no_glm_cache, prime_glm_cache, _cw,
+    _lam_scalar)
 from scso_tpu.ops.lbfgs_core import LBFGSMemory, init_memory
 from scso_tpu.problems import Problem
 from scso_tpu._src.struct import replace as dc_replace
@@ -349,10 +350,6 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
     mem0 = init_memory(n, mem_m, dt)
     hist0 = _init_hist(cap, len(metric_fns), dt)
 
-    obj_star = prob.f_val(prob.A, prob.y, prob.x_star) + prob.reg(
-        reg_name, prob.x_star
-    )  # parity: iterate.jl:179
-
     batching = _make_batches(prob, opts, n)
     is_lbfgs = isinstance(method, ProxLQNSCORE)
     cache_grads = is_lbfgs and batching is None
@@ -361,6 +358,23 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
     # + next epoch's prep + stats objective) — see steps.GLMCache
     use_fcache = epoch_cache_enabled(method, prob, reg_name,
                                      batching is None)
+
+    if use_fcache:
+        # obj_star through the SAME evaluation path as the cached
+        # history fval: the kernel-accumulated loss and prob.f_val's
+        # XLA reduction disagree by a few ULP-sums in f32 — measured
+        # ~1e-6..5e-6 relative at bench scale — and a MIXED-path
+        # objective gap inherits that offset as a floor, stalling
+        # f_tol=1e-6 stopping just above the target (observed: 180
+        # epochs of restarts instead of 37). Same-path evaluation
+        # cancels the common bias exactly like the reference's
+        # same-code f(x)/f(x*) comparison (iterate.jl:179,190).
+        obj_star = (prime_glm_cache(method, prob, prob.x_star).loss
+                    + prob.reg(reg_name, prob.x_star))
+    else:
+        obj_star = prob.f_val(prob.A, prob.y, prob.x_star) + prob.reg(
+            reg_name, prob.x_star
+        )  # parity: iterate.jl:179
 
     lam = _lam_scalar(prob.lam)
     cw = _cw(prob, reg_name)
@@ -400,12 +414,20 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
         rfc = getattr(resume, "fcache", None)
         if use_fcache:
             m_rows = prob.A.shape[0]
-            if (rfc is not None
-                    and tuple(getattr(rfc.w, "shape", (0,))) == (m_rows,)):
-                fc_r = jax.tree.map(jnp.asarray, GLMCache(*rfc))
+            if prob.mglm is not None:
+                want = (m_rows, int(prob.mglm.n_out))
+                ok = (rfc is not None and hasattr(rfc, "Z") and
+                      tuple(getattr(rfc.Z, "shape", ())) == want)
+                cls = MOGLMCache
+            else:
+                ok = (rfc is not None and hasattr(rfc, "w") and
+                      tuple(getattr(rfc.w, "shape", ())) == (m_rows,))
+                cls = GLMCache
+            if ok:
+                fc_r = jax.tree.map(jnp.asarray, cls(*rfc))
             else:
                 # saved before the cache existed / with it disabled —
-                # re-prime at the resumed iterate (one A-pass)
+                # re-prime at the resumed iterate
                 fc_r = prime_glm_cache(method, prob, x_r)
         else:
             fc_r = no_glm_cache(dt)

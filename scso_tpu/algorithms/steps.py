@@ -67,6 +67,19 @@ class GLMCache(NamedTuple):
     loss: jax.Array     # ()   f(x) — data loss, normalized
 
 
+class MOGLMCache(NamedTuple):
+    """Multi-output analogue of :class:`GLMCache`: Z = A·W replaces the
+    scalar-GLM weight vector (the per-sample k×k curvature actions of
+    the CG matvec derive from Z elementwise). Same invariant: all fields
+    correspond to the CURRENT iterate; depends only on (A, y, Z), never
+    on λ/μ."""
+
+    Z: jax.Array        # (m, k) linear predictor at x
+    grad_vec: jax.Array  # (n,) vec(Aᵀ·gres(y, Z)) — data gradient
+    hd_raw: jax.Array   # (n,) data Jacobi diagonal (qdiag_w-weighted)
+    loss: jax.Array     # ()   data loss f(x), normalized
+
+
 def no_glm_cache(dtype=jnp.float32) -> GLMCache:
     """Placeholder carried when the epoch cache is disabled (the
     while_loop carry needs a fixed pytree structure per compiled
@@ -571,22 +584,33 @@ def epoch_cache_enabled(method, prob: Problem, reg_name: str,
     — ~2.9 A-passes/epoch instead of ~5.15 at the bench shape.
 
     Requirements (all static at trace time): ProxGGNSCORE or ProxNSCORE
-    on the matrix-free CG path, a single-output GLM spec with loss_z AND
-    loss_sample, greedy damping resolved ON, full-batch data, no mesh
-    sharding (the pair kernel is not GSPMD-partitionable), and none of
-    the opt-in CG variants that re-derive the system per epoch
-    (curvature_rows, cg_lp_tol, static_precond).
+    on the matrix-free CG path, a (multi-output) GLM spec with loss_z
+    AND loss_sample, greedy damping resolved ON, full-batch data, and
+    none of the opt-in CG variants that re-derive the system per epoch
+    (curvature_rows, cg_lp_tol, static_precond). Row-sharded (mesh)
+    problems ARE supported: the dual-candidate prep runs as plain
+    GSPMD-partitioned matmuls (the pallas pair kernel is single-device
+    only), the CG matvec keeps the shard_map'd fused kernel — the
+    per-epoch pass savings carry over to multi-chip solves.
     """
     if (not isinstance(method, (ProxGGNSCORE, ProxNSCORE))
             or method.ss_type != 1):
         return False
     if getattr(method, "epoch_cache", None) is False:
         return False
-    g = prob.glm
-    if (g is None or g.loss_z is None or g.loss_sample is None
-            or not prob.has_data or getattr(prob.A, "ndim", 0) != 2):
+    if not prob.has_data or getattr(prob.A, "ndim", 0) != 2:
         return False
-    if not full_batch or getattr(prob, "mesh", None) is not None:
+    mo = prob.mglm
+    if mo is not None:
+        # multi-output path (takes precedence, like _ggn_cg_direction)
+        if (mo.loss_z is None
+                or getattr(mo, "loss_sample", None) is None):
+            return False
+    else:
+        g = prob.glm
+        if g is None or g.loss_z is None or g.loss_sample is None:
+            return False
+    if not full_batch:
         return False
     if (int(getattr(method, "curvature_rows", 0) or 0) > 0
             or float(getattr(method, "cg_lp_tol", 0.0)) > 0
@@ -604,17 +628,69 @@ def _cache_flavor(method) -> str:
     return "newton" if isinstance(method, ProxNSCORE) else "ggn"
 
 
-def prime_glm_cache(method, prob: Problem, x, As=None, ys=None) -> GLMCache:
-    """Build the epoch cache at iterate x with ONE A-pass (the pair
-    kernel with both candidates = x; the duplicate candidate costs only
-    VPU flops on a bandwidth-bound pass)."""
+def _mo_shapes(g, x):
+    k = int(g.n_out)
+    pf = x.shape[-1] // k
+    if k <= 0 or pf * k != x.shape[-1]:
+        raise ValueError(
+            f"mglm: n = {x.shape[-1]} incompatible with n_out = {k}")
+    return k, pf
+
+
+def _moglm_pair_prep(As, ys, g, x_t, x_d):
+    """Dual-candidate MOGLM prep (jnp): the two candidates' Z, data
+    gradient, Jacobi diagonal and loss from THREE A-reads total (the
+    per-candidate quantities batch into single (m×p)·(p×2k) matmuls) —
+    vs 3 prep + 2 trial objective passes + the stats pass uncached.
+    Returns two (Z, grad_vec, hd_raw, loss) tuples, losses normalized.
+    A fused single-read Pallas pair kernel is a possible follow-up (the
+    mglm_matvec sublane-k layout applies); the XLA form already removes
+    more than half the per-epoch A-traffic."""
+    k, pf = _mo_shapes(g, x_t)
+    m = As.shape[0]
+    W2 = jnp.concatenate(
+        [x_t.reshape(pf, k), x_d.reshape(pf, k)], axis=1)
+    Z2 = As @ W2                                     # read 1
+    Zt, Zd = Z2[:, :k], Z2[:, k:]
+    R2 = jnp.concatenate([g.gres(ys, Zt), g.gres(ys, Zd)], axis=1)
+    G2 = As.T @ R2                                   # read 2
+    Q2 = jnp.concatenate([g.qdiag_w(ys, Zt), g.qdiag_w(ys, Zd)], axis=1)
+    H2 = jnp.einsum("ic,ij,ij->jc", Q2, As, As)      # read 3
+    scale = (1.0 / m) if getattr(g, "sample_normalized", True) else 1.0
+    lt = jnp.sum(g.loss_sample(ys, Zt)) * scale
+    ld = jnp.sum(g.loss_sample(ys, Zd)) * scale
+    return ((Zt, G2[:, :k].reshape(-1), H2[:, :k].reshape(-1), lt),
+            (Zd, G2[:, k:].reshape(-1), H2[:, k:].reshape(-1), ld))
+
+
+def _prime_moglm(prob: Problem, x, As, ys) -> MOGLMCache:
+    g = prob.mglm
+    k, pf = _mo_shapes(g, x)
+    Z = As @ x.reshape(pf, k)
+    grad_vec = (As.T @ g.gres(ys, Z)).reshape(-1)
+    hd = jnp.einsum("ic,ij,ij->jc", g.qdiag_w(ys, Z), As, As).reshape(-1)
+    scale = ((1.0 / As.shape[0])
+             if getattr(g, "sample_normalized", True) else 1.0)
+    loss = jnp.sum(g.loss_sample(ys, Z)) * scale
+    return MOGLMCache(Z=Z, grad_vec=grad_vec, hd_raw=hd, loss=loss)
+
+
+def prime_glm_cache(method, prob: Problem, x, As=None, ys=None):
+    """Build the epoch cache at iterate x (GLMCache, or MOGLMCache for
+    multi-output problems) — one A-pass for the scalar-GLM pair kernel
+    (both candidates = x; the duplicate costs only VPU flops on a
+    bandwidth-bound pass), three for the multi-output jnp prep."""
     As = prob.A if As is None else As
     ys = prob.y if ys is None else ys
+    if prob.mglm is not None:
+        return _prime_moglm(prob, x, As, ys)
     g = prob.glm
     rw_fn, w_fn, loss_fn = _glm_kernel_fns(g, As.shape[0],
                                            _cache_flavor(method))
-    if method.kernels != "pallas":
-        # jnp route: one matmul + pullbacks (vmap/CPU-safe)
+    if (method.kernels != "pallas"
+            or getattr(prob, "mesh", None) is not None):
+        # jnp route: one matmul + pullbacks (vmap/CPU/GSPMD-safe — the
+        # pair kernel is single-device only)
         z = As @ x
         return GLMCache(
             w=w_fn(ys, z), b_raw=As.T @ rw_fn(ys, z),
@@ -638,7 +714,20 @@ def _ggn_cg_from_cache(method, prob: Problem, As, x, gr, Hr_diag, lam,
     hdiag = cache.hd_raw + lhr
     M_inv = lambda v: v / jnp.maximum(hdiag, tiny)
     w = cache.w
-    if (method.kernels == "pallas"
+    mesh = getattr(prob, "mesh", None)
+    if method.kernels == "pallas" and mesh is not None:
+        # row-sharded data: the fused matvec via the shard_map wrapper
+        axis = prob.data_axis
+        shard_m = As.shape[0] // mesh.shape[axis]
+        if supports_fused_normal_matvec(shard_m, As.shape[1],
+                                        As.dtype.itemsize):
+            mv = lambda v: fused_normal_matvec_sharded(
+                As, w, v, mesh, axis,
+                overlap_chunks=getattr(method, "comm_overlap_chunks", 1),
+            ) + lhr * v
+        else:
+            mv = lambda v: As.T @ (w * (As @ v)) + lhr * v
+    elif (method.kernels == "pallas"
             and supports_fused_normal_matvec(*As.shape,
                                              As.dtype.itemsize)):
         mv = lambda v: fused_normal_matvec(As, w, v) + lhr * v
@@ -680,11 +769,13 @@ def _greedy_update_cached(method, prob: Problem, reg_name, sm, As, ys,
     m_total = As.shape[0]
     rw_fn, w_fn, loss_fn = _glm_kernel_fns(g, m_total,
                                            _cache_flavor(method))
-    if method.kernels == "pallas":
+    if (method.kernels == "pallas"
+            and getattr(prob, "mesh", None) is None):
         pp = fused_glm_prep_pair(As, ys, x_trial, x_damped,
                                  rw_fn, w_fn, loss_fn)
     else:
-        # jnp fallback (CPU tests, vmapped sweeps): same outputs, one
+        # jnp fallback (CPU tests, vmapped sweeps, mesh-sharded data —
+        # GSPMD partitions these plain matmuls): same outputs, one
         # batched A@[x_t x_d] matmul + per-column pullbacks
         from scso_tpu.ops.pallas.glm_prep import PairPrep
         Z2 = As @ jnp.stack([x_trial, x_damped], axis=1)
@@ -711,6 +802,88 @@ def _greedy_update_cached(method, prob: Problem, reg_name, sm, As, ys,
     fc = GLMCache(w=sel(pp.w_t, pp.w_d), b_raw=sel(pp.b_t, pp.b_d),
                   hd_raw=sel(pp.hd_t, pp.hd_d), loss=sel(loss_t, loss_d))
     return x_new, pri, dx, fc
+
+
+def _mo_cg_from_cache(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
+                      cache: MOGLMCache, d_prev, it, bnorm_prev, x_prev):
+    """Multi-output GGN/Newton-CG direction from the carried MOGLMCache:
+    the Z/gradient/Jacobi prep reads disappear; each CG matvec applies
+    the per-sample k×k curvature action from the cached Z."""
+    g = prob.mglm
+    k, pf = _mo_shapes(g, x)
+    lhr = lam * Hr_diag
+    b = -(cache.grad_vec + lam * gr)
+    tiny = jnp.finfo(x.dtype).tiny
+    hdiag = cache.hd_raw + lhr
+    M_inv = lambda v: v / jnp.maximum(hdiag, tiny)
+    Z = cache.Z
+    use_fused = (method.kernels == "pallas"
+                 and getattr(prob, "mesh", None) is None
+                 and getattr(ys, "ndim", 0) == 2
+                 and supports_fused_mglm_matvec(As.shape[0], pf, k,
+                                                As.dtype.itemsize))
+    if use_fused:
+        mv = lambda v: fused_mglm_matvec(
+            As, ys, Z, v.reshape(pf, k), g.quad).reshape(-1) + lhr * v
+    else:
+        mv = lambda v: (As.T @ g.quad(ys, Z, As @ v.reshape(pf, k))
+                        ).reshape(-1) + lhr * v
+    xp = x if x_prev is None else x_prev
+    tol, bnorm = _forcing_tol(method, b, x, xp, bnorm_prev, it)
+    res = cg_solve(mv, b, d_prev, tol=tol, maxiter=method.cg_maxiter,
+                   M_inv=M_inv)
+    return res.x, res.iters, bnorm
+
+
+def _greedy_update_cached_mo(method, prob: Problem, reg_name, sm, As, ys,
+                             x, d, step_size, lam, lgr, Hr_diag,
+                             cache: MOGLMCache):
+    """Multi-output analogue of _greedy_update_cached: same greedy
+    semantics; the dual-candidate prep is the batched jnp _moglm_pair_prep
+    (3 A-reads for trial objective + both candidates' full prep)."""
+    x_damped, pri_d, dx_d = _damped_prox_update(
+        method, prob, reg_name, sm, x, d, step_size, lam, lgr, Hr_diag)
+    if method.use_prox:
+        lam_prox = prob.lam if reg_name == "gl" else lam
+        x_trial = prox_step(
+            reg_name, x + d, 1.0 / Hr_diag, lam_prox, step_size,
+            lb=prob.lb, ub=prob.ub, groups=prob.groups,
+        )
+    else:
+        x_trial = x + d
+    ct, cd = _moglm_pair_prep(As, ys, prob.mglm, x_trial, x_damped)
+    F_t = ct[3] + prob.reg(reg_name, x_trial)
+    F_x = cache.loss + prob.reg(reg_name, x)
+    accept = F_t < F_x
+    sel = lambda a, b: jnp.where(accept, a, b)
+    x_new = sel(x_trial, x_damped)
+    pri = sel(jnp.linalg.norm(x_trial - x), pri_d)
+    dx = sel(d, dx_d)
+    fc = MOGLMCache(Z=sel(ct[0], cd[0]), grad_vec=sel(ct[1], cd[1]),
+                    hd_raw=sel(ct[2], cd[2]), loss=sel(ct[3], cd[3]))
+    return x_new, pri, dx, fc
+
+
+def _cg_from_cache(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
+                   cache, d_prev, it, bnorm_prev, x_prev):
+    """Dispatch the cached CG direction by problem kind (mglm first,
+    mirroring _ggn_cg_direction's precedence)."""
+    if prob.mglm is not None:
+        return _mo_cg_from_cache(method, prob, As, ys, x, gr, Hr_diag,
+                                 lam, cache, d_prev, it, bnorm_prev,
+                                 x_prev)
+    return _ggn_cg_from_cache(method, prob, As, x, gr, Hr_diag, lam,
+                              cache, d_prev, it, bnorm_prev, x_prev)
+
+
+def _greedy_cached(method, prob: Problem, reg_name, sm, As, ys, x, d,
+                   step_size, lam, lgr, Hr_diag, cache):
+    if prob.mglm is not None:
+        return _greedy_update_cached_mo(method, prob, reg_name, sm, As,
+                                        ys, x, d, step_size, lam, lgr,
+                                        Hr_diag, cache)
+    return _greedy_update_cached(method, prob, reg_name, sm, As, ys, x,
+                                 d, step_size, lam, lgr, Hr_diag, cache)
 
 
 def _mo_glm_system(prob: Problem, As, ys, x, lhr, method=None):
@@ -808,13 +981,13 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
     solver = _resolve_newton_solver(method, x)
 
     if solver == "cg" and fcache is not None:
-        d, cg_iters, bnorm = _ggn_cg_from_cache(
-            method, prob, As, x, gr, Hr_diag, lam, fcache, d_prev,
+        d, cg_iters, bnorm = _cg_from_cache(
+            method, prob, As, ys, x, gr, Hr_diag, lam, fcache, d_prev,
             it, bnorm_prev, x_prev)
         ss = _resolve_step_size(method, prob, sm, reg_name, As, ys,
                                 x, x_prev, jnp.zeros_like(x), gq_prev,
                                 d, it, cw)
-        x_new, pri, dx, fc_new = _greedy_update_cached(
+        x_new, pri, dx, fc_new = _greedy_cached(
             method, prob, reg_name, sm, As, ys, x, d, ss, lam, lgr,
             Hr_diag, fcache)
         return StepOut(x_new, pri, dx, jnp.zeros_like(x),
@@ -1080,13 +1253,13 @@ def ggn_step(method: ProxGGNSCORE, prob: Problem, reg_name: str, sm,
     bnorm = jnp.asarray(0.0, x.dtype)
     z_cache = None
     if solver == "cg" and fcache is not None:
-        d, cg_iters, bnorm = _ggn_cg_from_cache(
-            method, prob, As, x, gr, Hr_diag, lam, fcache, d_prev,
+        d, cg_iters, bnorm = _cg_from_cache(
+            method, prob, As, ys, x, gr, Hr_diag, lam, fcache, d_prev,
             it, bnorm_prev, x_prev)
         ss = _resolve_step_size(method, prob, sm, reg_name, As, ys,
                                 x, x_prev, jnp.zeros_like(x), gq_prev,
                                 d, it, cw)
-        x_new, pri, dx, fc_new = _greedy_update_cached(
+        x_new, pri, dx, fc_new = _greedy_cached(
             method, prob, reg_name, sm, As, ys, x, d, ss, lam, lgr,
             Hr_diag, fcache)
         return StepOut(x_new, pri, dx, jnp.zeros_like(x),

@@ -413,6 +413,8 @@ MULTINOM_MGLM = MOGLMSpec(
         jax.nn.softmax(Z, axis=-1)) / Z.shape[0],
     loss_z=lambda y, Z: (jnp.sum(jax.nn.logsumexp(Z, axis=-1))
                          - jnp.sum(y * Z)) / Z.shape[0],
+    loss_sample=lambda y, Z: (jax.nn.logsumexp(Z, axis=-1)
+                              - jnp.sum(y * Z, axis=-1)),
 )
 
 

@@ -44,13 +44,13 @@ from scso_tpu.ops.pallas.matvec import (
 
 def _make_kernel(rw_fn, w_fn, acc_dtype):
     def kernel(a_ref, y_ref, x_ref, w_out_ref, b_ref, hd_ref,
-               b_acc, hd_acc):
+               b_acc, hd_acc, b_c, hd_c):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            b_acc[:] = jnp.zeros_like(b_acc)
-            hd_acc[:] = jnp.zeros_like(hd_acc)
+            for r in (b_acc, hd_acc, b_c, hd_c):
+                r[:] = jnp.zeros_like(r)
 
         # Layout rules as in matvec.py: length-n vectors are (1, n) rows,
         # per-row (length-br) vectors are (br, 1) columns, and the n-
@@ -64,10 +64,13 @@ def _make_kernel(rw_fn, w_fn, acc_dtype):
         rw = rw_fn(y, z)                                # (BR, 1)
         w = w_fn(y, z)                                  # (BR, 1)
         w_out_ref[:] = w.astype(w_out_ref.dtype)
-        b_acc[:] += jnp.sum(a * rw, axis=0,             # A_bᵀ·rw → (1, n)
-                            keepdims=True)
-        hd_acc[:] += jnp.sum(a * a * w, axis=0,         # (A²)_bᵀ·w → (1, n)
-                             keepdims=True)
+        # compensated cross-tile accumulation (see _kahan_add): the
+        # RHS pullback drives the outer fixed point — at 10⁷ rows the
+        # plain sequential sum's ~sqrt(T)·eps drift reaches ~1e-5
+        _kahan_add(b_acc, b_c,                          # A_bᵀ·rw → (1, n)
+                   jnp.sum(a * rw, axis=0, keepdims=True))
+        _kahan_add(hd_acc, hd_c,                        # (A²)_bᵀ·w
+                   jnp.sum(a * a * w, axis=0, keepdims=True))
 
         @pl.when(i == pl.num_programs(0) - 1)
         def _():
@@ -112,6 +115,9 @@ def _fused_glm_prep(A, y, x, rw_fn, w_fn, interpret=False):
             jax.ShapeDtypeStruct((1, n), dt),
         ),
         scratch_shapes=[pltpu.VMEM((1, n), acc_dtype),
+                        pltpu.VMEM((1, n), acc_dtype),
+                        # Kahan compensation buffers (see _kahan_add)
+                        pltpu.VMEM((1, n), acc_dtype),
                         pltpu.VMEM((1, n), acc_dtype)],
         interpret=interpret,
     )(A, y.reshape(-1, 1), x.reshape(1, -1))
@@ -156,21 +162,35 @@ class PairPrep(NamedTuple):
     loss_d: jax.Array   # ()
 
 
+def _kahan_add(acc_ref, comp_ref, partial):
+    """Compensated accumulation across the sequential TPU grid.
+
+    Plain `acc += partial` over T tiles drifts by ~sqrt(T)·eps relative —
+    at m = 5·10⁵ f32 that is ~4e-6 on the loss sum, ABOVE the 1e-6
+    objective-gap resolution the greedy accept test and the stopping
+    criterion need (measured: the cached greedy path at 524288×1024
+    stalled at a 1.7e-6 gap with 97 oscillating epochs before this fix).
+    Kahan summation brings the error back to ~eps independent of T for
+    two extra VPU ops per element — free on a bandwidth-bound kernel."""
+    y = partial - comp_ref[:]
+    t = acc_ref[:] + y
+    comp_ref[:] = (t - acc_ref[:]) - y
+    acc_ref[:] = t
+
+
 def _make_pair_kernel(rw_fn, w_fn, loss_fn, acc_dtype, br, m_true):
     def kernel(a_ref, y_ref, xt_ref, xd_ref,
                wt_ref, wd_ref, bt_ref, bd_ref, ht_ref, hd_ref,
                lt_ref, ld_ref,
-               bt_acc, bd_acc, ht_acc, hd_acc, lt_acc, ld_acc):
+               bt_acc, bd_acc, ht_acc, hd_acc, lt_acc, ld_acc,
+               bt_c, bd_c, ht_c, hd_c, lt_c, ld_c):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            bt_acc[:] = jnp.zeros_like(bt_acc)
-            bd_acc[:] = jnp.zeros_like(bd_acc)
-            ht_acc[:] = jnp.zeros_like(ht_acc)
-            hd_acc[:] = jnp.zeros_like(hd_acc)
-            lt_acc[:] = jnp.zeros_like(lt_acc)
-            ld_acc[:] = jnp.zeros_like(ld_acc)
+            for r in (bt_acc, bd_acc, ht_acc, hd_acc, lt_acc, ld_acc,
+                      bt_c, bd_c, ht_c, hd_c, lt_c, ld_c):
+                r[:] = jnp.zeros_like(r)
 
         # layout rules as in matvec.py/_make_kernel: (1, n) rows, (br, 1)
         # per-row columns, VPU broadcast-multiply-reduces for the
@@ -184,18 +204,23 @@ def _make_pair_kernel(rw_fn, w_fn, loss_fn, acc_dtype, br, m_true):
         row = i * br + jax.lax.broadcasted_iota(jnp.int32, (br, 1), 0)
         valid = (row < m_true).astype(acc_dtype)
 
-        for x_ref, w_out, b_acc, h_acc, l_acc in (
-                (xt_ref, wt_ref, bt_acc, ht_acc, lt_acc),
-                (xd_ref, wd_ref, bd_acc, hd_acc, ld_acc)):
+        for x_ref, w_out, b_acc, b_c, h_acc, h_c, l_acc, l_c in (
+                (xt_ref, wt_ref, bt_acc, bt_c, ht_acc, ht_c, lt_acc,
+                 lt_c),
+                (xd_ref, wd_ref, bd_acc, bd_c, hd_acc, hd_c, ld_acc,
+                 ld_c)):
             x = x_ref[:].astype(acc_dtype)              # (1, n)
             z = jnp.sum(a * x, axis=1, keepdims=True)   # (BR, 1)
             rw = rw_fn(y, z)
             w = w_fn(y, z)
             w_out[:] = w.astype(w_out.dtype)
-            b_acc[:] += jnp.sum(a * rw, axis=0, keepdims=True)
-            h_acc[:] += jnp.sum(aa * w, axis=0, keepdims=True)
-            l_acc[:] += jnp.sum(valid * loss_fn(y, z), axis=0,
-                                keepdims=True)
+            _kahan_add(b_acc, b_c,
+                       jnp.sum(a * rw, axis=0, keepdims=True))
+            _kahan_add(h_acc, h_c,
+                       jnp.sum(aa * w, axis=0, keepdims=True))
+            _kahan_add(l_acc, l_c,
+                       jnp.sum(valid * loss_fn(y, z), axis=0,
+                               keepdims=True))
 
         @pl.when(i == pl.num_programs(0) - 1)
         def _():
@@ -252,6 +277,13 @@ def _fused_glm_prep_pair(A, y, x_t, x_d, rw_fn, w_fn, loss_fn,
             jax.ShapeDtypeStruct((1, 1), dt),
         ),
         scratch_shapes=[pltpu.VMEM((1, n), acc_dtype),
+                        pltpu.VMEM((1, n), acc_dtype),
+                        pltpu.VMEM((1, n), acc_dtype),
+                        pltpu.VMEM((1, n), acc_dtype),
+                        pltpu.VMEM((1, 1), acc_dtype),
+                        pltpu.VMEM((1, 1), acc_dtype),
+                        # Kahan compensation buffers (see _kahan_add)
+                        pltpu.VMEM((1, n), acc_dtype),
                         pltpu.VMEM((1, n), acc_dtype),
                         pltpu.VMEM((1, n), acc_dtype),
                         pltpu.VMEM((1, n), acc_dtype),

@@ -107,6 +107,14 @@ class MOGLMSpec(NamedTuple):
     quad: Callable
     qdiag_w: Callable
     loss_z: Optional[Callable] = None
+    #: PER-SAMPLE loss ℓ(y, Z) -> (m,), unnormalized — the rowwise form
+    #: of ``loss_z`` (when ``sample_normalized``, loss_z == sum/m).
+    #: Declaring it unlocks the epoch-fused greedy path for multi-output
+    #: problems (steps.MOGLMCache).
+    loss_sample: Optional[Callable] = None
+    #: True ⇒ gres/quad/qdiag_w divide by Z.shape[0] (the 1/m loss
+    #: normalization) — same contract as GLMSpec.sample_normalized.
+    sample_normalized: bool = True
 
 
 @pytree_dataclass

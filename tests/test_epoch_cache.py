@@ -272,6 +272,87 @@ class TestCachedSolve:
                               epoch_cache=False), prob, "gl", sm, **kw)
         np.testing.assert_allclose(s_on.obj, s_off.obj, rtol=1e-10)
 
+    def test_moglm_cached_matches_uncached(self):
+        """Multi-output (multinomial) problems route through MOGLMCache:
+        same trajectories as the round-3 uncached greedy mglm path."""
+        from scso_tpu.models.losses import (multinom_f, multinom_grad,
+                                            multinom_mglm)
+        from scso_tpu.models.synthetic import make_multinomial_data
+
+        m, p, k = 512, 32, 4
+        A, y, x0, _ = make_multinomial_data(m, p, k, seed=11,
+                                            dtype=np.float64)
+        prob = scso.Problem(A, y, x0, multinom_f, 1e-3,
+                            grad_fx=multinom_grad, mglm=multinom_mglm(k),
+                            dtype=np.float64)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        m_on = scso.ProxGGNSCORE(solver="cg", greedy_alpha=True)
+        m_off = scso.ProxGGNSCORE(solver="cg", greedy_alpha=True,
+                                  epoch_cache=False)
+        assert epoch_cache_enabled(m_on, prob, "l1", True)
+        s_on = scso.iterate(m_on, prob, "l1", sm, **SOLVE_KW)
+        s_off = scso.iterate(m_off, prob, "l1", sm, **SOLVE_KW)
+        assert s_on.epochs == s_off.epochs
+        # 1e-9: the batched (p×2k) pair matmuls reduce in a different
+        # order than the per-candidate ones — ulp-level drift only
+        np.testing.assert_allclose(s_on.obj, s_off.obj, rtol=1e-9)
+        # the cached fval is the true objective at the final iterate
+        f_final = float(prob.f_val(prob.A, prob.y,
+                                   jnp.asarray(s_on.x)))
+        np.testing.assert_allclose(float(s_on.fval[-1]), f_final,
+                                   rtol=1e-12)
+
+    def test_moglm_loss_sample_contract(self):
+        from scso_tpu.models.losses import multinom_mglm
+
+        rng = np.random.default_rng(2)
+        m, k = 129, 5
+        g = multinom_mglm(k)
+        Z = jnp.asarray(rng.standard_normal((m, k)))
+        lab = rng.integers(0, k, m)
+        y = jnp.asarray(np.eye(k)[lab])
+        total = jnp.sum(g.loss_sample(y, Z)) / m
+        np.testing.assert_allclose(float(total), float(g.loss_z(y, Z)),
+                                   rtol=1e-12)
+
+    def test_moglm_resume_bitmatch(self):
+        from scso_tpu.models.losses import (multinom_f, multinom_grad,
+                                            multinom_mglm)
+        from scso_tpu.models.synthetic import make_multinomial_data
+
+        m, p, k = 512, 32, 4
+        A, y, x0, _ = make_multinomial_data(m, p, k, seed=5,
+                                            dtype=np.float64)
+        prob = scso.Problem(A, y, x0, multinom_f, 1e-3,
+                            grad_fx=multinom_grad, mglm=multinom_mglm(k),
+                            dtype=np.float64)
+        sm = scso.PHuberSmootherL1L2(1.0)
+        m_on = scso.ProxGGNSCORE(solver="cg", greedy_alpha=True)
+        full = scso.iterate(m_on, prob, "l1", sm, **SOLVE_KW)
+        part = scso.iterate(m_on, prob, "l1", sm,
+                            **{**SOLVE_KW, "max_epoch": 9})
+        res = scso.iterate(m_on, prob, "l1", sm,
+                           resume_state=part.state, **SOLVE_KW)
+        assert np.array_equal(np.asarray(full.x), np.asarray(res.x))
+
+    def test_sharded_cache_matches_unsharded(self):
+        """Row-sharded (mesh) problems keep the epoch cache: the pair
+        prep runs as GSPMD-partitioned matmuls. The sharded cached solve
+        must match the single-device cached solve to f64 roundoff."""
+        from scso_tpu.parallel import make_mesh, shard_problem
+
+        prob = _logreg_problem()
+        sm = scso.PHuberSmootherL1L2(1.0)
+        m_on = scso.ProxGGNSCORE(solver="cg", greedy_alpha=True)
+        assert epoch_cache_enabled(m_on, shard_problem(prob, make_mesh()),
+                                   "l1", True)
+        s_single = scso.iterate(m_on, prob, "l1", sm, **SOLVE_KW)
+        s_shard = scso.iterate(m_on, shard_problem(prob, make_mesh()),
+                               "l1", sm, **SOLVE_KW)
+        np.testing.assert_allclose(np.asarray(s_shard.x),
+                                   np.asarray(s_single.x), atol=1e-10)
+        np.testing.assert_allclose(s_shard.obj, s_single.obj, rtol=1e-10)
+
     def test_continuation_restages_cleanly(self):
         """λ-continuation chains fresh solves via x0 — each stage primes
         its own cache; the chained result matches the uncached chain."""

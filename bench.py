@@ -158,14 +158,19 @@ def run_config(M, N, pad, method, use_mixed=False):
     x_opt = None
     for _ in range(12):  # ≤ 720 epochs
         s = run(cur)
-        # terminal fixed point anchors the gap target; state.x keeps the
-        # on-device (and, under padding, padded) vector — Solution.x is
-        # sliced back to n_true and would shape-mismatch the padded prob
-        x_opt = s.state.x
-        if s.obj[-1] >= best * (1 - 1e-7):
+        # the BEST chunk terminal anchors the gap target — near the f32
+        # noise floor a later chunk can end slightly WORSE than an
+        # earlier one, and anchoring on the last chunk then sets an
+        # unreachable (or sloppy) target; state.x keeps the on-device
+        # (and, under padding, padded) vector — Solution.x is sliced
+        # back to n_true and would shape-mismatch the padded prob
+        improved = s.obj[-1] < best * (1 - 1e-7)
+        if s.obj[-1] < best:
+            best = s.obj[-1]
+            x_opt = s.state.x
+        if not improved:
             break
-        best = s.obj[-1]
-        cur = dc_replace(cur, x0=x_opt)
+        cur = dc_replace(cur, x0=s.state.x)
 
     # --- timed: fresh solves vs the optimum, chained until gap fires ----
     prob_t = dc_replace(prob, x_star=jnp.asarray(x_opt))
@@ -374,13 +379,15 @@ def family_gl_path(big: bool):
         lamv = jnp.asarray([1e-8, float(lam2)], jnp.float32)
         cur = dc_replace(prob, lam=lamv, x0=x_warm)
         best = np.inf
-        for _ in range(6):  # presolve to this λ's anchor
+        for _ in range(6):  # presolve to this λ's anchor (best chunk)
             s = run(cur, f_tol=0.0)
-            x_opt = s.state.x
-            if s.obj[-1] >= best * (1 - 1e-7):
+            improved = s.obj[-1] < best * (1 - 1e-7)
+            if s.obj[-1] < best:
+                best = s.obj[-1]
+                x_opt = s.state.x
+            if not improved:
                 break
-            best = s.obj[-1]
-            cur = dc_replace(cur, x0=x_opt)
+            cur = dc_replace(cur, x0=s.state.x)
         timed = dc_replace(prob, lam=lamv, x0=x_warm,
                            x_star=jnp.asarray(x_opt))
         run(timed, f_tol=1e-6)  # warm dispatch
@@ -462,13 +469,15 @@ def family_multinomial(big: bool):
     cur = prob
     best = np.inf
     x_opt = None
-    for _ in range(8):  # presolve to the optimum
+    for _ in range(8):  # presolve to the optimum (best chunk anchors)
         s = run(cur)
-        x_opt = s.state.x
-        if s.obj[-1] >= best * (1 - 1e-7):
+        improved = s.obj[-1] < best * (1 - 1e-7)
+        if s.obj[-1] < best:
+            best = s.obj[-1]
+            x_opt = s.state.x
+        if not improved:
             break
-        best = s.obj[-1]
-        cur = dc_replace(cur, x0=x_opt)
+        cur = dc_replace(cur, x0=s.state.x)
     prob_t = dc_replace(prob, x_star=jnp.asarray(x_opt))
     run(prob_t)  # warm dispatch
     t_solve = 0.0

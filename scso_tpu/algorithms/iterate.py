@@ -562,6 +562,21 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
     def cond(carry: Carry):
         return (~carry.done) & (carry.k < max_epoch)
 
+    def gap_now(c: Carry):
+        """Per-epoch-exact f_tol gap between stats rounds.
+
+        Without the epoch cache the plain steps of a stats_every round
+        reuse the ROUND-START gap (a fresh one costs a full data pass —
+        the whole point of the amortization), so a solve can overshoot
+        the f_tol target by up to stats_every−1 epochs. WITH the cache
+        the current loss is already in the carry, so the exact gap is
+        O(n): at the bench protocol (stats_every=4) this recovers up to
+        3 epochs per solve for two vector ops."""
+        if not use_fcache:
+            return c.frel
+        obj_now = c.fcache.loss + prob.reg(reg_name, c.x)
+        return jnp.abs(obj_now - obj_star) / jnp.abs(obj_star)
+
     if resume is not None and opts.stats_every > 1:
         # Realign to the round grid. An uninterrupted run records stats
         # at k = 0, K, 2K, ...; a resume from mid-round (k % K != 0)
@@ -574,7 +589,7 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
 
         def realign(_, c):
             live = (~c.done) & (c.k < max_epoch) & (c.k % K != 0)
-            c2 = step_epoch(c, c.frel)
+            c2 = step_epoch(c, gap_now(c))
             return jax.tree.map(
                 lambda new, old: jnp.where(live, new, old), c2, c)
 
@@ -593,7 +608,8 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
         # A k%K lax.cond would serve the scalar case, but under vmap a
         # batched-predicate cond lowers to select (BOTH branches run) —
         # the nested loop keeps the amortization real for sweeps/fleets.
-        # Stopping still checks every epoch; f_tol uses the round's gap.
+        # Stopping still checks every epoch; f_tol uses the round's gap —
+        # except with the epoch cache, where gap_now() makes it exact.
         #
         # Two freeze styles for finished instances (see Options.vmap_safe):
         # scalar solves use lax.cond (truly skips post-convergence steps);
@@ -609,14 +625,14 @@ def _solve_fused_impl(method, prob: Problem, reg_name: str, sm,
             if opts.vmap_safe:
                 def inner(_, c):
                     live = (~c.done) & (c.k < max_epoch)
-                    c2 = step_epoch(c, c.frel)
+                    c2 = step_epoch(c, gap_now(c))
                     return jax.tree.map(
                         lambda new, old: jnp.where(live, new, old), c2, c)
             else:
                 def inner(_, c):
                     return lax.cond(
                         (~c.done) & (c.k < max_epoch),
-                        lambda c: step_epoch(c, c.frel),
+                        lambda c: step_epoch(c, gap_now(c)),
                         lambda c: c,
                         c,
                     )
@@ -650,6 +666,21 @@ def _to_solution(carry: Carry, prob: Problem, metric_names, total_time,
     # HBM for the Solution's lifetime — a slow leak across experiment
     # loops that retain Solutions. The host copy resumes identically
     # (resume re-asserts leaves with jnp.asarray).
+    #
+    # Multi-process meshes: the epoch cache's m-sized leaves are
+    # row-sharded ACROSS processes and cannot be device_get (only
+    # fully-addressable or fully-replicated arrays can); drop the cache
+    # from the fetched state — resume re-primes it in one A-pass (the
+    # shape-mismatch branch of the resume path).
+    def _fetchable(a):
+        sh = getattr(a, "sharding", None)
+        return (sh is None or a.is_fully_addressable
+                or sh.is_fully_replicated)
+
+    if not all(_fetchable(l) for l in jax.tree.leaves(carry.fcache)):
+        dt = carry.x.dtype
+        carry = carry._replace(
+            fcache=jax.tree.map(jax.device_get, no_glm_cache(dt)))
     carry = jax.device_get(carry)
     (n_rec_a, x_h, obj_h, fval_h, prires_h, fvaltest_h, rel_h, objrel_h,
      metrics_h, k_h, cg_h) = (

@@ -405,7 +405,7 @@ def _cg_tol(method, dtype):
     return max(tol, 4.0 * eps)
 
 
-def _forcing_tol(method, b, x, x_prev, ref_prev, it):
+def _forcing_tol(method, b, x, x_prev, ref_prev, it, endgame=False):
     """(tol, step_ref) for the CG solve.
 
     With ``method.cg_adaptive`` (Eisenstat–Walker-style forcing):
@@ -418,8 +418,42 @@ def _forcing_tol(method, b, x, x_prev, ref_prev, it):
     plateau and stall the x_tol stopping test; the step length does go
     to 0 there, driving η to the cg_tol floor so the endgame matches a
     fixed-tolerance solve. ``ref_prev`` carries s_ref (NaN until the
-    first real step). Without the flag: the fixed floored cg_tol."""
+    first real step). Without the flag: the fixed floored cg_tol.
+
+    ``endgame=True`` (all Newton/GGN CG paths, cached and uncached)
+    enables TIGHTENING-ONLY forcing:
+    η_k = clip(0.9·ratio², 4·eps, cg_tol) — the bulk phase
+    keeps the measured cg_tol knee (unlike cg_adaptive, which loosens
+    mid-flight and measured 120 vs 41 epochs), but as the outer steps
+    shrink the direction is refined toward machine precision. Rationale
+    (measured at the north-star shape): at a fixed 3e-4 forcing the
+    INEXACT iteration owns a fixed point a ~1e-5 relative gap away from
+    the true optimum, and once the greedy trial stops strictly
+    decreasing F the damped dynamics converge to THAT point — the
+    recorded objective climbs away from the anchor for 60-epoch
+    stretches (.ns_cache logs, 180-epoch bench stall). Tightening with
+    the step length removes the inexact fixed point exactly where it
+    matters while costing extra CG iterations only in the endgame.
+    An explicit ``cg_adaptive=True`` wins over ``endgame``, and the mode
+    only engages at f32-and-below precision: the f64 floor sqrt(eps)
+    already puts the inexact fixed point ~1e-16 relative from the true
+    one (no observable drift), and the f64 oracle/parity suites pin the
+    fixed-tolerance trajectories bit-for-bit."""
     floor = _cg_tol(method, b.dtype)
+    if endgame and jnp.finfo(b.dtype).bits > 32:
+        endgame = False
+    if endgame and not method.cg_adaptive:
+        eps4 = 4.0 * float(jnp.finfo(b.dtype).eps)
+        dxn = jnp.linalg.norm(x - x_prev)
+        rp = (jnp.asarray(jnp.nan, b.dtype) if ref_prev is None
+              else jnp.asarray(ref_prev))
+        unset = jnp.isnan(rp) | (rp <= 0)
+        ref = jnp.where(unset & (dxn > 0), dxn, rp)
+        ratio = dxn / jnp.maximum(ref, jnp.finfo(b.dtype).tiny)
+        eta = jnp.clip(0.9 * ratio * ratio, eps4, floor)
+        eta = jnp.where(jnp.isnan(ref) | (it <= 1),
+                        jnp.asarray(floor, eta.dtype), eta)
+        return eta, ref
     if not method.cg_adaptive:
         return floor, jnp.asarray(jnp.nan, b.dtype)
     eta_max = 0.1
@@ -573,25 +607,29 @@ def _loss_scale(g, m_total):
 
 def epoch_cache_enabled(method, prob: Problem, reg_name: str,
                         full_batch: bool) -> bool:
-    """Static predicate for the epoch-fused greedy path (GLMCache).
+    """Static predicate for the epoch-fused cache path (GLMCache).
 
     When true, the driver primes a GLMCache at x0 and every epoch runs:
       * the GGN-CG direction with ZERO prep A-passes (RHS/weights/Jacobi
         from the cache),
-      * the greedy trial + the NEXT epoch's prep as ONE dual-candidate
-        A-pass (fused_glm_prep_pair),
-      * the stats objective from the cached loss (no stats data pass)
+      * with greedy damping resolved on: the greedy trial + the NEXT
+        epoch's prep as ONE dual-candidate A-pass (fused_glm_prep_pair);
+        with greedy off: the damped step + ONE single-candidate re-prime
+        pass (_damped_update_cached),
+      * the stats objective from the cached loss (no stats data pass) —
+        and the f_tol stopping test per-epoch-exact between stats rounds
+        (iterate.gap_now)
     — ~2.9 A-passes/epoch instead of ~5.15 at the bench shape.
 
     Requirements (all static at trace time): ProxGGNSCORE or ProxNSCORE
-    on the matrix-free CG path, a (multi-output) GLM spec with loss_z
-    AND loss_sample, greedy damping resolved ON, full-batch data, and
-    none of the opt-in CG variants that re-derive the system per epoch
-    (curvature_rows, cg_lp_tol, static_precond). Row-sharded (mesh)
-    problems ARE supported: the dual-candidate prep runs as plain
-    GSPMD-partitioned matmuls (the pallas pair kernel is single-device
-    only), the CG matvec keeps the shard_map'd fused kernel — the
-    per-epoch pass savings carry over to multi-chip solves.
+    on the matrix-free CG path with ss_type=1, a (multi-output) GLM spec
+    with loss_z AND loss_sample, full-batch data, and none of the opt-in
+    CG variants that re-derive the system per epoch (curvature_rows,
+    cg_lp_tol, static_precond). Row-sharded (mesh) problems ARE
+    supported: the dual-candidate prep runs as plain GSPMD-partitioned
+    matmuls (the pallas pair kernel is single-device only), the CG
+    matvec keeps the shard_map'd fused kernel — the per-epoch pass
+    savings carry over to multi-chip solves.
     """
     if (not isinstance(method, (ProxGGNSCORE, ProxNSCORE))
             or method.ss_type != 1):
@@ -612,12 +650,35 @@ def epoch_cache_enabled(method, prob: Problem, reg_name: str,
             return False
     if not full_batch:
         return False
-    if (int(getattr(method, "curvature_rows", 0) or 0) > 0
-            or float(getattr(method, "cg_lp_tol", 0.0)) > 0
-            or getattr(method, "static_precond", False)):
+    # curvature_rows only ACTS as a strict row subsample on an unsharded
+    # problem (K >= m or mesh-sharded is a runtime no-op — same sync-
+    # with-executed-path rule as the attachments below)
+    K = int(getattr(method, "curvature_rows", 0) or 0)
+    if 0 < K < prob.A.shape[0] and getattr(prob, "mesh", None) is None:
         return False
-    n_eff = prob.n_true if prob.n_true is not None else prob.x0.shape[-1]
-    if not use_greedy(method, n_eff, prob):
+    # cg_lp_tol / static_precond only ACT when the problem carries the
+    # matching attachment (A_lp / col_sumsq) AND, for lp, the threshold
+    # clears the CG floor (below it the lp path refuses itself with a
+    # warning) — keep cache gating in sync with the executed path so
+    # no-op flags stay bitwise no-ops
+    lp_tol = float(getattr(method, "cg_lp_tol", 0.0))
+    if (lp_tol > 0 and getattr(prob, "A_lp", None) is not None
+            and getattr(prob, "mesh", None) is None):
+        floor = _cg_tol(method, prob.x0.dtype)
+        if lp_tol > floor:
+            return False
+        # below the floor the lp path refuses itself — the cached solve
+        # never reaches _lp_matvec, so surface the same warning here
+        _warn_once(
+            ("lp-tol-floor", (lp_tol, floor)),
+            f"cg_lp_tol={lp_tol:g} is <= the CG tolerance floor "
+            f"{floor:g} — the low-precision matvec would stay engaged "
+            "through the convergence endgame and stall CG below the "
+            "copy's own error. Disabled; set cg_lp_tol well above "
+            "cg_tol (e.g. 1e-2).",
+        )
+    if (getattr(method, "static_precond", False)
+            and getattr(prob, "col_sumsq", None) is not None):
         return False
     if isinstance(method, ProxNSCORE):
         return _resolve_newton_solver(method, prob.x0) == "cg"
@@ -675,6 +736,19 @@ def _prime_moglm(prob: Problem, x, As, ys) -> MOGLMCache:
     return MOGLMCache(Z=Z, grad_vec=grad_vec, hd_raw=hd, loss=loss)
 
 
+def _use_pair_kernel(method, prob: Problem, n: int) -> bool:
+    """Shape gate for the Pallas pair/prime kernel — mirrors the
+    use_fused_prep AUTO rule (n >= 8192, the measured-win regime; at
+    n = 1024 the VPU row-reduce kernel LOSES to XLA's own prep fusion —
+    0.676 vs 0.434 s at 524288×1024 when the damped-cache re-prime ran
+    it unconditionally). Pallas kernels are single-device: mesh-sharded
+    problems always take the GSPMD-partitioned jnp route."""
+    if method.kernels != "pallas" or getattr(prob, "mesh", None) is not None:
+        return False
+    fprep = getattr(method, "use_fused_prep", None)
+    return bool(fprep) if fprep is not None else n >= 8192
+
+
 def prime_glm_cache(method, prob: Problem, x, As=None, ys=None):
     """Build the epoch cache at iterate x (GLMCache, or MOGLMCache for
     multi-output problems) — one A-pass for the scalar-GLM pair kernel
@@ -687,8 +761,7 @@ def prime_glm_cache(method, prob: Problem, x, As=None, ys=None):
     g = prob.glm
     rw_fn, w_fn, loss_fn = _glm_kernel_fns(g, As.shape[0],
                                            _cache_flavor(method))
-    if (method.kernels != "pallas"
-            or getattr(prob, "mesh", None) is not None):
+    if not _use_pair_kernel(method, prob, As.shape[1]):
         # jnp route: one matmul + pullbacks (vmap/CPU/GSPMD-safe — the
         # pair kernel is single-device only)
         z = As @ x
@@ -734,7 +807,8 @@ def _ggn_cg_from_cache(method, prob: Problem, As, x, gr, Hr_diag, lam,
     else:
         mv = lambda v: As.T @ (w * (As @ v)) + lhr * v
     xp = x if x_prev is None else x_prev
-    tol, bnorm = _forcing_tol(method, b, x, xp, bnorm_prev, it)
+    tol, bnorm = _forcing_tol(method, b, x, xp, bnorm_prev, it,
+                              endgame=True)
     res = cg_solve(mv, b, d_prev, tol=tol, maxiter=method.cg_maxiter,
                    M_inv=M_inv)
     return res.x, res.iters, bnorm
@@ -769,8 +843,7 @@ def _greedy_update_cached(method, prob: Problem, reg_name, sm, As, ys,
     m_total = As.shape[0]
     rw_fn, w_fn, loss_fn = _glm_kernel_fns(g, m_total,
                                            _cache_flavor(method))
-    if (method.kernels == "pallas"
-            and getattr(prob, "mesh", None) is None):
+    if _use_pair_kernel(method, prob, As.shape[1]):
         pp = fused_glm_prep_pair(As, ys, x_trial, x_damped,
                                  rw_fn, w_fn, loss_fn)
     else:
@@ -794,6 +867,13 @@ def _greedy_update_cached(method, prob: Problem, reg_name, sm, As, ys,
     loss_d = pp.loss_d * scale
     F_t = loss_t + prob.reg(reg_name, x_trial)
     F_x = cache.loss + prob.reg(reg_name, x)
+    # two-way accept, round-3 greedy semantics. A monotone keep-x guard
+    # was tried here and REVERTED: the damped iteration minimizes the
+    # SMOOTHED composite, so damped steps that increase the true F are
+    # legitimate traversal — hard-rejecting them froze solves
+    # mid-descent (f64 fixture: stuck at obj 0.6957 vs 0.6938). The
+    # endgame drift this guard aimed at is handled by the
+    # tightening-only forcing instead (_forcing_tol endgame=True).
     accept = F_t < F_x
     sel = lambda a, b: jnp.where(accept, a, b)
     x_new = sel(x_trial, x_damped)
@@ -829,7 +909,8 @@ def _mo_cg_from_cache(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
         mv = lambda v: (As.T @ g.quad(ys, Z, As @ v.reshape(pf, k))
                         ).reshape(-1) + lhr * v
     xp = x if x_prev is None else x_prev
-    tol, bnorm = _forcing_tol(method, b, x, xp, bnorm_prev, it)
+    tol, bnorm = _forcing_tol(method, b, x, xp, bnorm_prev, it,
+                              endgame=True)
     res = cg_solve(mv, b, d_prev, tol=tol, maxiter=method.cg_maxiter,
                    M_inv=M_inv)
     return res.x, res.iters, bnorm
@@ -854,6 +935,7 @@ def _greedy_update_cached_mo(method, prob: Problem, reg_name, sm, As, ys,
     ct, cd = _moglm_pair_prep(As, ys, prob.mglm, x_trial, x_damped)
     F_t = ct[3] + prob.reg(reg_name, x_trial)
     F_x = cache.loss + prob.reg(reg_name, x)
+    # two-way accept — keep-x guard rejected, see _greedy_update_cached
     accept = F_t < F_x
     sel = lambda a, b: jnp.where(accept, a, b)
     x_new = sel(x_trial, x_damped)
@@ -876,8 +958,39 @@ def _cg_from_cache(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
                               cache, d_prev, it, bnorm_prev, x_prev)
 
 
-def _greedy_cached(method, prob: Problem, reg_name, sm, As, ys, x, d,
+def _damped_update_cached(method, prob: Problem, reg_name, sm, As, ys,
+                          x, d, step_size, lam, lgr, Hr_diag, cache):
+    """Damped-path epoch-cache refresh (greedy resolved OFF).
+
+    The SCORE-damped prox step as usual, then ONE prime pass at x_new
+    rebuilds the cache (z/weights/RHS/Jacobi/loss). Epoch cost becomes
+    1 + CG A-passes — the stats data pass disappears (loss carried) and
+    the f_tol test turns per-epoch-exact (iterate.gap_now), the same
+    two wins the greedy path gets from its dual-candidate pass. This is
+    what makes the cache worthwhile at shapes where greedy itself is a
+    measured epoch-count negative (e.g. n = 1024: 29 greedy vs 21
+    damped epochs).
+
+    No objective guard here (a monotone keep-x variant was tried and
+    reverted — see _greedy_update_cached): the damped step is taken
+    unconditionally, exactly like the uncached damped path."""
+    del cache  # refreshed wholesale at x_new
+    x_new, pri, dx = _damped_prox_update(
+        method, prob, reg_name, sm, x, d, step_size, lam, lgr, Hr_diag)
+    fc = prime_glm_cache(method, prob, x_new, As, ys)
+    return x_new, pri, dx, fc
+
+
+def _cached_update(method, prob: Problem, reg_name, sm, As, ys, x, d,
                    step_size, lam, lgr, Hr_diag, cache):
+    """Post-direction update on the epoch-cache path: greedy
+    dual-candidate when greedy damping is resolved on, else the damped
+    step + a single-candidate re-prime."""
+    n_eff = prob.n_true if prob.n_true is not None else x.shape[-1]
+    if not use_greedy(method, n_eff, prob):
+        return _damped_update_cached(method, prob, reg_name, sm, As, ys,
+                                     x, d, step_size, lam, lgr, Hr_diag,
+                                     cache)
     if prob.mglm is not None:
         return _greedy_update_cached_mo(method, prob, reg_name, sm, As,
                                         ys, x, d, step_size, lam, lgr,
@@ -987,7 +1100,7 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
         ss = _resolve_step_size(method, prob, sm, reg_name, As, ys,
                                 x, x_prev, jnp.zeros_like(x), gq_prev,
                                 d, it, cw)
-        x_new, pri, dx, fc_new = _greedy_cached(
+        x_new, pri, dx, fc_new = _cached_update(
             method, prob, reg_name, sm, As, ys, x, d, ss, lam, lgr,
             Hr_diag, fcache)
         return StepOut(x_new, pri, dx, jnp.zeros_like(x),
@@ -1033,7 +1146,8 @@ def newton_step(method: ProxNSCORE, prob: Problem, reg_name: str, sm,
                                        prob.hvp_w,
                                        lambda v: prob.hvp_f(As, ys, x, v))
         x0_cg = None if d_prev is None else -d_prev
-        tol, bnorm = _forcing_tol(method, gq, x, x_prev, bnorm_prev, it)
+        tol, bnorm = _forcing_tol(method, gq, x, x_prev, bnorm_prev, it,
+                                  endgame=True)
         res = cg_solve(mv, gq, x0_cg, tol=tol,
                        maxiter=method.cg_maxiter, M_inv=M_inv)
         d = -res.x
@@ -1216,7 +1330,8 @@ def _ggn_cg_direction(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
             lambda v: jt(q_diag * prob.jvp_out(As, x, v)))
         mv_lp = None
     xp = x if x_prev is None else x_prev
-    tol, bnorm = _forcing_tol(method, b, x, xp, bnorm_prev, it)
+    tol, bnorm = _forcing_tol(method, b, x, xp, bnorm_prev, it,
+                              endgame=True)
     if mv_lp is not None:
         # precision-adaptive CG: while the forcing tolerance is looser
         # than cg_lp_tol, the low-precision copy's matvec error (bf16
@@ -1259,7 +1374,7 @@ def ggn_step(method: ProxGGNSCORE, prob: Problem, reg_name: str, sm,
         ss = _resolve_step_size(method, prob, sm, reg_name, As, ys,
                                 x, x_prev, jnp.zeros_like(x), gq_prev,
                                 d, it, cw)
-        x_new, pri, dx, fc_new = _greedy_cached(
+        x_new, pri, dx, fc_new = _cached_update(
             method, prob, reg_name, sm, As, ys, x, d, ss, lam, lgr,
             Hr_diag, fcache)
         return StepOut(x_new, pri, dx, jnp.zeros_like(x),

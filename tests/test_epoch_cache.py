@@ -122,13 +122,20 @@ class TestCachedSolve:
         assert not epoch_cache_enabled(
             scso.ProxGGNSCORE(solver="cg", greedy_alpha=True, ss_type=2),
             prob, "l1", True)
-        assert not epoch_cache_enabled(
+        # greedy OFF caches too (damped-path re-prime; round 4)
+        assert epoch_cache_enabled(
             scso.ProxGGNSCORE(solver="cg", greedy_alpha=False),
             prob, "l1", True)
         assert not epoch_cache_enabled(
             scso.ProxGGNSCORE(solver="cg", greedy_alpha=True,
                               curvature_rows=64), prob, "l1", True)
+        # static_precond only gates the cache when it ACTS (col_sumsq
+        # attached); as a no-op flag the cache stays on
         assert not epoch_cache_enabled(
+            scso.ProxGGNSCORE(solver="cg", greedy_alpha=True,
+                              static_precond=True),
+            scso.with_col_sumsq(prob), "l1", True)
+        assert epoch_cache_enabled(
             scso.ProxGGNSCORE(solver="cg", greedy_alpha=True,
                               static_precond=True), prob, "l1", True)
         assert not epoch_cache_enabled(
@@ -138,8 +145,9 @@ class TestCachedSolve:
         g2 = prob.glm._replace(loss_sample=None)
         from scso_tpu._src.struct import replace as _rep
         assert not epoch_cache_enabled(on, _rep(prob, glm=g2), "l1", True)
-        # AUTO greedy: off below n = 4096 → cache off too
-        assert not epoch_cache_enabled(
+        # AUTO greedy resolves off below n = 4096 — the cache stays ON
+        # via the damped-path re-prime (round 4)
+        assert epoch_cache_enabled(
             scso.ProxGGNSCORE(solver="cg"), prob, "l1", True)
 
     @pytest.mark.parametrize("kernels", ["xla", "pallas"])
@@ -158,6 +166,46 @@ class TestCachedSolve:
         np.testing.assert_allclose(s_on.obj, s_off.obj, rtol=1e-12)
         np.testing.assert_allclose(np.asarray(s_on.x),
                                    np.asarray(s_off.x), atol=1e-12)
+
+    @pytest.mark.parametrize("kernels", ["xla", "pallas"])
+    def test_damped_cached_matches_uncached(self, kernels):
+        """Greedy OFF also caches (round 4: _damped_update_cached — the
+        damped step + one re-prime pass). Trajectories must equal the
+        uncached damped path to f64 roundoff."""
+        prob = _logreg_problem()
+        sm = scso.PHuberSmootherL1L2(1.0)
+        m_on = scso.ProxGGNSCORE(solver="cg", greedy_alpha=False,
+                                 kernels=kernels)
+        m_off = scso.ProxGGNSCORE(solver="cg", greedy_alpha=False,
+                                  kernels=kernels, epoch_cache=False)
+        assert epoch_cache_enabled(m_on, prob, "l1", True)
+        s_on = scso.iterate(m_on, prob, "l1", sm, **SOLVE_KW)
+        s_off = scso.iterate(m_off, prob, "l1", sm, **SOLVE_KW)
+        assert s_on.epochs == s_off.epochs
+        np.testing.assert_allclose(s_on.obj, s_off.obj, rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(s_on.x),
+                                   np.asarray(s_off.x), atol=1e-9)
+
+    def test_cached_ftol_stop_is_per_epoch_exact(self):
+        """With the cache, the f_tol test between stats rounds uses the
+        EXACT current gap (iterate.gap_now), not the stale round-start
+        gap — so a stats_every=4 solve stops at the same epoch as a
+        stats_every=1 solve instead of overshooting by up to 3 epochs
+        (or, when the endgame oscillates around the threshold, missing
+        the dips entirely — the 180-epoch north-star stall)."""
+        prob = _logreg_problem()
+        sm = scso.PHuberSmootherL1L2(1.0)
+        m = scso.ProxGGNSCORE(solver="cg", greedy_alpha=True)
+        # target a mid-trajectory gap so the stop fires off-grid:
+        # presolve for x_star, then a fat f_tol
+        pre = scso.iterate(m, prob, "l1", sm, **SOLVE_KW)
+        prob_t = dc_replace(prob, x_star=jnp.asarray(pre.state.x))
+        kw = dict(max_epoch=60, f_tol=1e-5, x_tol=1e-14, verbose=0,
+                  alpha=1.0)
+        s1 = scso.iterate(m, prob_t, "l1", sm, stats_every=1, **kw)
+        s4 = scso.iterate(m, prob_t, "l1", sm, stats_every=4, **kw)
+        assert s4.epochs == s1.epochs
+        assert float(s4.objrel[-1]) <= 1e-5
 
     @pytest.mark.parametrize("kernels", ["xla", "pallas"])
     def test_newton_flavor_matches_uncached(self, kernels):

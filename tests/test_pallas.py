@@ -338,8 +338,11 @@ class TestPrecisionAdaptiveCG:
         from scso_tpu._src.struct import replace as dc_replace
 
         prob = self._prob()
-        base = self._solve(prob, scso.ProxGGNSCORE(solver="cg",
-                                                   cg_adaptive=True))
+        # epoch_cache=False on every method here: an ACTING cg_lp_tol
+        # disables the epoch cache (acting-flag gating), so bitwise
+        # comparisons must hold both sides on the uncached path
+        base = self._solve(prob, scso.ProxGGNSCORE(
+            solver="cg", cg_adaptive=True, epoch_cache=False))
         # same-dtype copy: identical math whichever branch runs
         p_same = scso.with_lp_copy(prob, dtype=prob.A.dtype)
         s_same = self._solve(p_same, scso.ProxGGNSCORE(
@@ -348,11 +351,12 @@ class TestPrecisionAdaptiveCG:
         # poisoned copy + never-lp threshold: the gate must keep it out
         p_poison = dc_replace(prob, A_lp=jnp.zeros_like(prob.A))
         s_never = self._solve(p_poison, scso.ProxGGNSCORE(
-            solver="cg", cg_adaptive=True, cg_lp_tol=1e30))
+            solver="cg", cg_adaptive=True, cg_lp_tol=1e30,
+            epoch_cache=False))
         np.testing.assert_array_equal(s_never.x, base.x)
         # cg_lp_tol left at 0.0: A_lp present but ignored
         s_off = self._solve(p_poison, scso.ProxGGNSCORE(
-            solver="cg", cg_adaptive=True))
+            solver="cg", cg_adaptive=True, epoch_cache=False))
         np.testing.assert_array_equal(s_off.x, base.x)
 
     def test_lp_branch_actually_executes(self):

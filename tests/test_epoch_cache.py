@@ -419,3 +419,58 @@ class TestCachedSolve:
             prob, "l1", sm, lam_schedule=[0.05, 0.01], **kw)
         np.testing.assert_allclose(float(s_on.obj[-1]),
                                    float(s_off.obj[-1]), rtol=1e-10)
+
+
+class TestEndgameForcing:
+    """steps._forcing_tol(endgame=True): the tightening-only mode that
+    removes the fixed-forcing inexact fixed point (the round-4 f32
+    endgame fix — see docs/DESIGN.md §3e)."""
+
+    def _tol(self, dtype, dxn, ref, it=5, cg_tol=0.0):
+        from scso_tpu.algorithms.steps import _forcing_tol
+
+        m = scso.ProxGGNSCORE(solver="cg", cg_tol=cg_tol)
+        x = jnp.zeros(4, dtype)
+        xp = x.at[0].set(dxn)
+        t, r = _forcing_tol(m, jnp.ones(4, dtype), x, xp,
+                            jnp.asarray(ref, dtype), jnp.int32(it),
+                            endgame=True)
+        return float(t), float(r)
+
+    def test_bulk_phase_keeps_the_knee(self):
+        # big steps (ratio >= 1): the measured 3e-4 f32 floor, untouched
+        t, _ = self._tol(np.float32, dxn=1.0, ref=1.0)
+        assert t == pytest.approx(3e-4)
+
+    def test_tightens_superlinearly_with_step_length(self):
+        t1, _ = self._tol(np.float32, dxn=1e-2, ref=1.0)
+        t2, _ = self._tol(np.float32, dxn=1e-3, ref=1.0)
+        assert t1 == pytest.approx(0.9e-4, rel=1e-5)
+        assert t2 == pytest.approx(0.9e-6, rel=1e-5)
+        # never below 4*eps (CG in f32 cannot resolve residuals there)
+        t3, _ = self._tol(np.float32, dxn=1e-9, ref=1.0)
+        assert t3 == pytest.approx(4 * np.finfo(np.float32).eps)
+
+    def test_never_loosens_above_the_floor(self):
+        # unlike cg_adaptive (eta_max = 0.1), endgame mode is capped at
+        # the cg_tol knee even on the first step / unset ref
+        t, _ = self._tol(np.float32, dxn=0.0, ref=np.nan, it=1)
+        assert t == pytest.approx(3e-4)
+
+    def test_f64_is_exempt(self):
+        # f64's sqrt(eps) floor already places the inexact fixed point
+        # ~1e-16 relative away; endgame mode must not alter the f64
+        # oracle trajectories
+        t, _ = self._tol(np.float64, dxn=1e-3, ref=1.0)
+        assert t == pytest.approx(np.finfo(np.float64).eps ** 0.5)
+
+    def test_explicit_cg_adaptive_wins(self):
+        from scso_tpu.algorithms.steps import _forcing_tol
+
+        m = scso.ProxGGNSCORE(solver="cg", cg_adaptive=True)
+        x = jnp.zeros(4, np.float32)
+        xp = x.at[0].set(1.0)
+        t, _ = _forcing_tol(m, jnp.ones(4, np.float32), x, xp,
+                            jnp.asarray(1.0, np.float32), jnp.int32(5),
+                            endgame=True)
+        assert float(t) == pytest.approx(0.1)  # EW eta_max, not the knee

@@ -42,9 +42,10 @@ two-config default and runs exactly one configuration):
   BENCH_MIXED=1     — bf16 coarse phase + f32 finish
   BENCH_FUSED_PREP=0/1 — force the single-pass Pallas GLM epoch prep
                       off/on (unset = AUTO by shape: on at n >= 8192)
-  BENCH_EPOCH_CACHE=0 — disable the epoch-fused greedy path (round-4:
-                      GLMCache + dual-candidate pass; unset = AUTO, on
-                      whenever greedy resolves on)
+  BENCH_EPOCH_CACHE=0 — disable the epoch cache (round-4: GLMCache —
+                      greedy dual-candidate pass, or damped re-prime —
+                      plus exact f_tol stopping; unset = AUTO, on
+                      whenever the cache applies)
 """
 
 from __future__ import annotations

@@ -126,9 +126,15 @@ def make_method(adaptive, greedy, lp, curv_rows, fused_prep,
     # (warm-started CG exits at the forcing tolerance far earlier).
     cg_tol = float(os.environ.get("BENCH_CG_TOL", "0"))
     static_precond = _flag("BENCH_STATIC_PRECOND", "0")
+    # lp threshold: with EW-adaptive forcing the classic 1e-2 (bf16 only
+    # while EW is loose); with the default tightening-only schedule the
+    # forcing sits AT the 3e-4 floor through the bulk phase, so the
+    # threshold = the floor — bf16 matvecs for the whole bulk, f32 once
+    # the endgame tightens past it (steps._lp_matvec endgame rule)
+    lp_tol = 0.0 if not lp else (1e-2 if adaptive else 3e-4)
     return scso.ProxGGNSCORE(solver="cg", cg_tol=cg_tol, cg_maxiter=100,
                              cg_adaptive=adaptive,
-                             cg_lp_tol=(1e-2 if lp else 0.0),
+                             cg_lp_tol=lp_tol,
                              curvature_rows=curv_rows,
                              greedy_alpha=greedy,
                              static_precond=static_precond,
@@ -570,10 +576,9 @@ def main():
     _ec_env = os.environ.get("BENCH_EPOCH_CACHE")
     epoch_cache = None if _ec_env is None else bool(int(_ec_env))
     mixed = _flag("BENCH_MIXED", "0")
-    if lp and not adaptive:
-        print("bench: BENCH_LP=1 implies BENCH_ADAPTIVE=1 (fixed forcing "
-              "never engages the lp path)", file=sys.stderr)
-        adaptive = True
+    # BENCH_LP no longer forces BENCH_ADAPTIVE: under the default
+    # tightening-only schedule the lp threshold resolves to the CG
+    # floor (bf16 through the bulk phase) — see make_method
     method = make_method(adaptive, greedy, lp, curv, fused_prep,
                          epoch_cache)
 

@@ -26,13 +26,17 @@ greedy = os.environ.get("NS_GREEDY")
 greedy = None if greedy is None else bool(int(greedy))
 stats = int(os.environ.get("NS_STATS", 4))
 
-method = bench.make_method(False, greedy, False, 0, None, epoch_cache=cache)
+lp = os.environ.get("NS_LP", "0") == "1"
+
+method = bench.make_method(False, greedy, lp, 0, None, epoch_cache=cache)
 sm = scso.PHuberSmootherL1L2(1.0)
 kw = dict(x_tol=1e-12, f_tol=1e-6, max_epoch=60, verbose=0,
           stats_every=stats, alpha=1.0)
 run = lambda p: scso.iterate(method, p, "l1", sm, **kw)
 
 prob = bench.build_problem(M, N, PAD)
+if lp:
+    prob = scso.with_lp_copy(prob)
 cur = prob; best = np.inf; x_opt = None
 t0 = time.perf_counter()
 for i in range(12):

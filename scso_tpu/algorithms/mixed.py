@@ -31,10 +31,15 @@ def with_lp_copy(model: Problem, dtype=jnp.bfloat16) -> Problem:
     """Attach a low-precision copy of the data matrix for
     precision-adaptive CG.
 
-    Pair with ``ProxGGNSCORE(cg_adaptive=True, cg_lp_tol=...)``: epochs
-    whose Eisenstat-Walker forcing tolerance is >= ``cg_lp_tol`` run
-    their curvature matvecs on the ``dtype`` copy (bf16 = half the HBM
-    traffic per CG iteration); tighter epochs use the full-precision A.
+    Pair with ``ProxGGNSCORE(cg_lp_tol=...)``: epochs whose CG forcing
+    tolerance is >= ``cg_lp_tol`` run their curvature matvecs on the
+    ``dtype`` copy (bf16 = half the HBM traffic per CG iteration);
+    tighter epochs use the full-precision A. Two regimes:
+      * default f32 (tightening-only endgame forcing): set
+        ``cg_lp_tol`` EQUAL to the CG floor (AUTO 3e-4) — bf16 through
+        the whole bulk phase, f32 once the endgame tightens past it;
+      * ``cg_adaptive=True`` (Eisenstat–Walker): a loose threshold like
+         1e-2 — bf16 only while EW forcing is loose.
     Costs ``A.nbytes / 2`` extra HBM. Unlike `iterate_mixed`'s two-phase
     scheme the OUTER trajectory keeps full-precision gradients/RHS — only
     the inexact-Newton direction error grows, bounded by the forcing

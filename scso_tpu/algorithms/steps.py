@@ -486,12 +486,21 @@ def _lp_matvec(method, prob: Problem, As, w, lhr):
             or A_lp.shape != As.shape):
         return None
     floor = _cg_tol(method, w.dtype)
-    if lp_tol <= floor:
-        # the forcing tolerance never drops below the floor, so this
-        # threshold would keep the low-precision matvec engaged through
-        # the ENDGAME — CG then chases a residual below the copy's own
-        # error and burns cg_maxiter every epoch. Refuse rather than
-        # stall.
+    # Under the tightening-only endgame schedule (f32, not cg_adaptive —
+    # _forcing_tol endgame=True) the forcing DOES drop below the floor
+    # once the outer steps shrink, so lp_tol == floor is exactly the
+    # "bf16 through the bulk phase, f32 once the endgame tightens"
+    # setting: the engage test `tol >= lp_tol` holds at the floor and
+    # fails as soon as the schedule tightens. With cg_adaptive (or f64)
+    # the tolerance never passes below the floor and equality would pin
+    # bf16 through the endgame — keep refusing there.
+    endgame_mode = (jnp.finfo(w.dtype).bits <= 32
+                    and not method.cg_adaptive)
+    if lp_tol < floor or (lp_tol == floor and not endgame_mode):
+        # a threshold below the reachable forcing range would keep the
+        # low-precision matvec engaged through the ENDGAME — CG then
+        # chases a residual below the copy's own error and burns
+        # cg_maxiter every epoch. Refuse rather than stall.
         _warn_once(
             ("lp-tol-floor", (lp_tol, floor)),
             f"cg_lp_tol={lp_tol:g} is <= the CG tolerance floor "
@@ -657,26 +666,28 @@ def epoch_cache_enabled(method, prob: Problem, reg_name: str,
     if 0 < K < prob.A.shape[0] and getattr(prob, "mesh", None) is None:
         return False
     # cg_lp_tol / static_precond only ACT when the problem carries the
-    # matching attachment (A_lp / col_sumsq) AND, for lp, the threshold
-    # clears the CG floor (below it the lp path refuses itself with a
-    # warning) — keep cache gating in sync with the executed path so
-    # no-op flags stay bitwise no-ops
+    # matching attachment (A_lp / col_sumsq). The cached single-output
+    # path routes its curvature matvecs through A_lp itself
+    # (_ggn_cg_from_cache), so an ACTING lp no longer disables the
+    # cache; a REFUSED lp threshold (below the reachable forcing range,
+    # _lp_matvec's rule) surfaces the same warning here because the
+    # cached solve reaches _lp_matvec only after priming
     lp_tol = float(getattr(method, "cg_lp_tol", 0.0))
     if (lp_tol > 0 and getattr(prob, "A_lp", None) is not None
-            and getattr(prob, "mesh", None) is None):
+            and getattr(prob, "mesh", None) is None
+            and mo is None):
         floor = _cg_tol(method, prob.x0.dtype)
-        if lp_tol > floor:
-            return False
-        # below the floor the lp path refuses itself — the cached solve
-        # never reaches _lp_matvec, so surface the same warning here
-        _warn_once(
-            ("lp-tol-floor", (lp_tol, floor)),
-            f"cg_lp_tol={lp_tol:g} is <= the CG tolerance floor "
-            f"{floor:g} — the low-precision matvec would stay engaged "
-            "through the convergence endgame and stall CG below the "
-            "copy's own error. Disabled; set cg_lp_tol well above "
-            "cg_tol (e.g. 1e-2).",
-        )
+        endgame_mode = (jnp.finfo(prob.x0.dtype).bits <= 32
+                        and not method.cg_adaptive)
+        if lp_tol < floor or (lp_tol == floor and not endgame_mode):
+            _warn_once(
+                ("lp-tol-floor", (lp_tol, floor)),
+                f"cg_lp_tol={lp_tol:g} is <= the CG tolerance floor "
+                f"{floor:g} — the low-precision matvec would stay "
+                "engaged through the convergence endgame and stall CG "
+                "below the copy's own error. Disabled; set cg_lp_tol "
+                "well above cg_tol (e.g. 1e-2).",
+            )
     if (getattr(method, "static_precond", False)
             and getattr(prob, "col_sumsq", None) is not None):
         return False
@@ -809,8 +820,21 @@ def _ggn_cg_from_cache(method, prob: Problem, As, x, gr, Hr_diag, lam,
     xp = x if x_prev is None else x_prev
     tol, bnorm = _forcing_tol(method, b, x, xp, bnorm_prev, it,
                               endgame=True)
-    res = cg_solve(mv, b, d_prev, tol=tol, maxiter=method.cg_maxiter,
-                   M_inv=M_inv)
+    mv_lp = _lp_matvec(method, prob, As, w, lhr)
+    if mv_lp is not None:
+        # precision-adaptive CG on the cached path: while the
+        # tightening-only forcing sits at (or above) cg_lp_tol the
+        # curvature matvecs stream the bf16 copy at half the HBM
+        # traffic; once the endgame tightens past the threshold CG
+        # switches back to the f32 operator. RHS/prep stay f32 (exact
+        # gradient, inexact direction — the safe inexact-Newton split).
+        run = lambda m_: cg_solve(m_, b, d_prev, tol=tol,
+                                  maxiter=method.cg_maxiter, M_inv=M_inv)
+        res = jax.lax.cond(tol >= method.cg_lp_tol,
+                           lambda _: run(mv_lp), lambda _: run(mv), None)
+    else:
+        res = cg_solve(mv, b, d_prev, tol=tol, maxiter=method.cg_maxiter,
+                       M_inv=M_inv)
     return res.x, res.iters, bnorm
 
 

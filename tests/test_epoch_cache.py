@@ -149,6 +149,12 @@ class TestCachedSolve:
         # via the damped-path re-prime (round 4)
         assert epoch_cache_enabled(
             scso.ProxGGNSCORE(solver="cg"), prob, "l1", True)
+        # an ACTING cg_lp_tol keeps the cache ON (round 4: the cached
+        # path routes curvature matvecs through A_lp itself)
+        assert epoch_cache_enabled(
+            scso.ProxGGNSCORE(solver="cg", cg_adaptive=True,
+                              cg_lp_tol=1e-2),
+            scso.with_lp_copy(prob), "l1", True)
 
     @pytest.mark.parametrize("kernels", ["xla", "pallas"])
     def test_trajectory_matches_uncached(self, kernels):

@@ -338,15 +338,16 @@ class TestPrecisionAdaptiveCG:
         from scso_tpu._src.struct import replace as dc_replace
 
         prob = self._prob()
-        # epoch_cache=False on every method here: an ACTING cg_lp_tol
-        # disables the epoch cache (acting-flag gating), so bitwise
-        # comparisons must hold both sides on the uncached path
+        # epoch_cache=False on every method here so bitwise comparisons
+        # hold both sides on the uncached path (the cached path covers
+        # lp in TestPrecisionAdaptiveCGEndgame)
         base = self._solve(prob, scso.ProxGGNSCORE(
             solver="cg", cg_adaptive=True, epoch_cache=False))
         # same-dtype copy: identical math whichever branch runs
         p_same = scso.with_lp_copy(prob, dtype=prob.A.dtype)
         s_same = self._solve(p_same, scso.ProxGGNSCORE(
-            solver="cg", cg_adaptive=True, cg_lp_tol=1e-2))
+            solver="cg", cg_adaptive=True, cg_lp_tol=1e-2,
+            epoch_cache=False))
         np.testing.assert_array_equal(s_same.x, base.x)
         # poisoned copy + never-lp threshold: the gate must keep it out
         p_poison = dc_replace(prob, A_lp=jnp.zeros_like(prob.A))
@@ -406,6 +407,86 @@ class TestPrecisionAdaptiveCG:
         prob = scso.Problem(x0, losses.rosenbrock, 1e-8, dtype=np.float64)
         with pytest.raises(ValueError, match="data problem"):
             scso.with_lp_copy(prob)
+
+
+class TestPrecisionAdaptiveCGEndgame:
+    """Round-4 lp regime: under the default tightening-only forcing
+    (f32, cg_adaptive=False) cg_lp_tol == the CG floor engages the
+    low-precision matvec through the whole bulk phase (where the
+    forcing sits AT the floor) and drops back to the f32 operator once
+    the endgame tightens below it — including on the epoch-cached path
+    (_ggn_cg_from_cache routes curvature matvecs through A_lp)."""
+
+    FLOOR = 3e-4  # steps._cg_tol f32 AUTO value
+
+    def _prob(self, m=512, n=128, seed=0):
+        A, y, x0, _ = synthetic.make_sparse_logreg_data(
+            m, n, density=0.3, n_active=8, seed=seed, dtype=np.float32,
+            label01=True)
+        return scso.Problem(
+            A, y, x0, losses.logistic01_f, 1e-2,
+            grad_fx=losses.logistic01_grad,
+            out_fn=losses.sigmoid_out,
+            grad_fy=losses.logistic_ggn_residual,
+            hess_fy_diag=losses.logistic_ggn_qdiag,
+            loss_fn=losses.logistic_loss_01,
+            hvp_w=losses.logistic01_hvp_w, ggn_w=losses.logistic_ggn_w,
+            glm=losses.LOGISTIC01_GLM, dtype=np.float32)
+
+    def _solve(self, prob, method, **kw):
+        kw.setdefault("max_epoch", 120)
+        return scso.iterate(method, prob, "l1",
+                            scso.PHuberSmootherL1L2(1.0), verbose=0, **kw)
+
+    @pytest.mark.parametrize("cache", [None, False])
+    def test_floor_threshold_engages(self, cache):
+        """Poisoned (zero) copy + lp_tol == floor must change the
+        trajectory vs the plain solve — positive proof the cond picks
+        the copy in the bulk phase, cached and uncached."""
+        from scso_tpu._src.struct import replace as dc_replace
+
+        prob = self._prob()
+        base = self._solve(prob, scso.ProxGGNSCORE(solver="cg",
+                                                   epoch_cache=cache))
+        p_poison = dc_replace(prob, A_lp=jnp.zeros_like(prob.A))
+        s = self._solve(p_poison, scso.ProxGGNSCORE(
+            solver="cg", cg_lp_tol=self.FLOOR, epoch_cache=cache))
+        assert not np.array_equal(s.x, base.x)
+
+    def test_same_dtype_copy_bitmatch_cached(self):
+        """A same-dtype copy is identical math whichever cond branch
+        runs — the cached lp solve must bit-match the no-lp one."""
+        prob = self._prob()
+        base = self._solve(prob, scso.ProxGGNSCORE(solver="cg"))
+        p_same = scso.with_lp_copy(prob, dtype=prob.A.dtype)
+        s = self._solve(p_same, scso.ProxGGNSCORE(
+            solver="cg", cg_lp_tol=self.FLOOR))
+        np.testing.assert_array_equal(s.x, base.x)
+
+    def test_adaptive_refuses_floor_threshold(self):
+        """With cg_adaptive the forcing never passes below the floor,
+        so lp_tol == floor would pin the copy through the endgame —
+        refused with a warning, solve proceeds in full precision."""
+        import warnings
+
+        prob = scso.with_lp_copy(self._prob())
+        base = self._solve(prob, scso.ProxGGNSCORE(
+            solver="cg", cg_adaptive=True, epoch_cache=False))
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            s = self._solve(prob, scso.ProxGGNSCORE(
+                solver="cg", cg_adaptive=True, cg_lp_tol=self.FLOOR,
+                epoch_cache=False))
+        np.testing.assert_array_equal(s.x, base.x)
+        assert any("cg_lp_tol" in str(w.message) for w in rec)
+
+    def test_bf16_bulk_reaches_same_optimum(self):
+        prob = scso.with_lp_copy(self._prob())  # bf16 copy
+        base = self._solve(prob, scso.ProxGGNSCORE(solver="cg"))
+        lp = self._solve(prob, scso.ProxGGNSCORE(
+            solver="cg", cg_lp_tol=self.FLOOR))
+        np.testing.assert_allclose(lp.obj[-1], base.obj[-1], rtol=1e-5)
+        np.testing.assert_allclose(lp.x, base.x, atol=1e-3)
 
 
 class TestSubsampledCurvature:

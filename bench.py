@@ -46,6 +46,10 @@ two-config default and runs exactly one configuration):
                       greedy dual-candidate pass, or damped re-prime —
                       plus exact f_tol stopping; unset = AUTO, on
                       whenever the cache applies)
+  BENCH_AUTO_LP=0   — disable AUTO precision-adaptive CG (unset = the
+                      library AUTO: bf16 curvature matvecs through the
+                      bulk phase on TPU >= 2 GiB shapes, f32 endgame;
+                      measured 21-23% faster at both bench shapes)
 """
 
 from __future__ import annotations
@@ -132,9 +136,13 @@ def make_method(adaptive, greedy, lp, curv_rows, fused_prep,
     # threshold = the floor — bf16 matvecs for the whole bulk, f32 once
     # the endgame tightens past it (steps._lp_matvec endgame rule)
     lp_tol = 0.0 if not lp else (1e-2 if adaptive else 3e-4)
+    # BENCH_AUTO_LP=0 disables the AUTO bf16-bulk path (unset = the
+    # library AUTO: on at TPU >= 2 GiB shapes — methods.ProxGGNSCORE)
+    auto_lp = (False if os.environ.get("BENCH_AUTO_LP", "") == "0"
+               else None)
     return scso.ProxGGNSCORE(solver="cg", cg_tol=cg_tol, cg_maxiter=100,
                              cg_adaptive=adaptive,
-                             cg_lp_tol=lp_tol,
+                             cg_lp_tol=lp_tol, auto_lp=auto_lp,
                              curvature_rows=curv_rows,
                              greedy_alpha=greedy,
                              static_precond=static_precond,

@@ -248,6 +248,69 @@ def _effective_L(prob: Problem, alpha):
     return prob
 
 
+# AUTO precision-adaptive CG engages at the measured-win size only: the
+# saving is HBM bandwidth on the CG curvature matvecs, so small /
+# dispatch-bound problems gain nothing for the copy's memory. 2 GiB =
+# the smaller of the two shapes where the 21-23% win was measured
+# (benchmarks/lp_ab.py on v5e); CPU-test shapes sit far below it.
+_AUTO_LP_MIN_BYTES = 2 * 1024**3
+
+
+def _auto_lp(method, prob: Problem, opts: Options):
+    """Resolve ProxGGNSCORE.auto_lp — maybe attach a bf16 data copy and
+    enable precision-adaptive CG at the forcing floor (host-side).
+
+    Measured on v5e (benchmarks/lp_ab.py, 3 alternating reps each):
+    196608×10112 1.52 → 1.17 s, 524288×1024 0.47 → 0.37 s, identical
+    trajectories (same epochs AND CG iterations both arms) — the bulk
+    phase tolerates the bf16 matvec error because the tightening-only
+    endgame re-runs f32 and owns the final accuracy. Correctness gates
+    mirror where the lp matvec actually acts (steps._lp_matvec): f32,
+    single-output GLM, full-batch, unsharded, CG solver, no manual
+    cg_lp_tol, not cg_adaptive. `auto_lp=True` skips only the
+    backend/size/HBM gates (tests); False disables.
+    """
+    auto = getattr(method, "auto_lp", None)
+    if auto is False or not isinstance(method, ProxGGNSCORE):
+        return method, prob
+    if (method.cg_lp_tol != 0.0 or method.cg_adaptive
+            or getattr(method, "curvature_rows", 0)):
+        return method, prob
+    if (not prob.has_data or getattr(prob.A, "ndim", 0) != 2
+            or isinstance(prob.A, jax.core.Tracer)
+            or getattr(prob, "A_lp", None) is not None
+            or getattr(prob, "mesh", None) is not None):
+        return method, prob
+    if (prob.glm is None or prob.mglm is not None
+            or jnp.dtype(prob.x0.dtype) != jnp.float32):
+        return method, prob
+    if opts.batch_size is not None or opts.slice_samples or opts.vmap_safe:
+        return method, prob
+    from scso_tpu.algorithms.steps import (_cg_tol, _resolve_ggn_solver)
+    if _resolve_ggn_solver(method, prob, prob.A, prob.x0) != "cg":
+        return method, prob
+    if auto is None:
+        # measured-win gates: TPU bandwidth regime + HBM headroom for
+        # the half-size copy (observed fit: 7.95 GiB A + 3.97 GiB copy
+        # on a 16 GiB v5e)
+        if jax.default_backend() != "tpu":
+            return method, prob
+        if prob.A.nbytes < _AUTO_LP_MIN_BYTES:
+            return method, prob
+        need = prob.A.nbytes * 1.55  # A + copy + workspace slack
+        try:
+            limit = jax.devices()[0].memory_stats()["bytes_limit"]
+            fits = need <= 0.85 * limit
+        except Exception:
+            fits = prob.A.nbytes <= 8.5 * 1024**3  # the measured-OK size
+        if not fits:
+            return method, prob
+    method = dataclasses.replace(method, cg_lp_tol=_cg_tol(method,
+                                                           prob.x0.dtype))
+    prob = dc_replace(prob, A_lp=prob.A.astype(jnp.bfloat16))
+    return method, prob
+
+
 def _init_hist(cap: int, n_metrics: int, dtype) -> History:
     z = jnp.zeros((cap,), dtype)
     return History(
@@ -305,6 +368,7 @@ def solve(method, prob: Problem, reg_name: str, sm, opts: Options,
     """
     prob = _effective_L(prob, alpha)
     method = _resolve_kernels(method, prob)
+    method, prob = _auto_lp(method, prob, opts)
     # The AUTO f32 CG floor (3e-4, steps._cg_tol) is the measured knee
     # for ~1e-6 relative objective gaps; a tighter f_tol can hit a
     # forcing-induced outer stall silently (the inexact-CG fixed point

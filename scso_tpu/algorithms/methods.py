@@ -138,18 +138,33 @@ class ProxGGNSCORE:
     #: greedy SCORE damping; None = AUTO (on for ss_type=1 — the
     #: measured-best bench config; see ProxNSCORE.greedy_alpha)
     greedy_alpha: Optional[bool] = None
-    #: precision-adaptive CG (opt-in, needs Problem.A_lp — see
+    #: precision-adaptive CG (manual knob, needs Problem.A_lp — see
     #: algorithms.mixed.with_lp_copy): epochs whose CG forcing tolerance
     #: is >= cg_lp_tol run their curvature matvecs on the low-precision
     #: data copy (bf16 halves HBM traffic); tighter epochs use full
     #: precision. RHS/gradients always use the full-precision A, so only
     #: the inexact-Newton direction error grows — bounded by the forcing
     #: tolerance itself when cg_lp_tol >> the copy's ~1e-3 matvec error.
-    #: 0.0 disables. Sensible value with cg_adaptive=True: 1e-2.
+    #: 0.0 disables (see auto_lp for the no-knob route). Sensible
+    #: values: the CG floor (AUTO 3e-4 f32) under the default
+    #: tightening-only forcing — bf16 through the bulk phase, f32 in
+    #: the endgame; 1e-2 with cg_adaptive=True.
     #: SCALAR solves only: under vmap (sweep/solve_fleet) the batched
     #: precision cond lowers to a select that executes BOTH matvecs —
     #: correct but strictly slower; leave it off in sweeps.
     cg_lp_tol: float = 0.0
+    #: AUTO precision-adaptive CG. None (default) = on in the
+    #: measured-win regime: f32 GLM full-batch unsharded CG solves on a
+    #: TPU backend with A >= 2 GiB and HBM headroom for the bf16 copy —
+    #: `solve` then attaches Problem.A_lp itself and sets cg_lp_tol to
+    #: the CG floor. Measured on v5e (benchmarks/lp_ab.py): 21-23%
+    #: faster at BOTH bench shapes with identical trajectories
+    #: (bulk-phase bf16 curvature never cost an epoch or a CG
+    #: iteration; the tightening-only endgame runs f32 and pins the
+    #: final accuracy). False disables AUTO (manual cg_lp_tol still
+    #: honored); True skips the backend/size gates (testing). Explicit
+    #: cg_lp_tol > 0 always wins over AUTO.
+    auto_lp: Optional[bool] = None
     #: comm/compute overlap for the sharded CG matvec — see ProxNSCORE
     comm_overlap_chunks: int = 1
     #: static Jacobi preconditioner — see ProxNSCORE.static_precond

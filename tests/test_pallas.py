@@ -489,6 +489,67 @@ class TestPrecisionAdaptiveCGEndgame:
         np.testing.assert_allclose(lp.x, base.x, atol=1e-3)
 
 
+class TestAutoLP:
+    """ProxGGNSCORE.auto_lp: `solve` attaches the bf16 copy itself and
+    sets cg_lp_tol to the CG floor in the measured-win regime (TPU,
+    A >= 2 GiB, f32 GLM full-batch unsharded CG). auto_lp=True skips
+    the backend/size gates so CPU tests can drive the mechanism."""
+
+    def _prob(self, dtype=np.float32):
+        A, y, x0, _ = synthetic.make_sparse_logreg_data(
+            512, 128, density=0.3, n_active=8, seed=1, dtype=dtype,
+            label01=True)
+        return scso.Problem(
+            A, y, x0, losses.logistic01_f, 1e-2,
+            grad_fx=losses.logistic01_grad,
+            out_fn=losses.sigmoid_out,
+            grad_fy=losses.logistic_ggn_residual,
+            hess_fy_diag=losses.logistic_ggn_qdiag,
+            loss_fn=losses.logistic_loss_01,
+            hvp_w=losses.logistic01_hvp_w, ggn_w=losses.logistic_ggn_w,
+            glm=losses.LOGISTIC01_GLM, dtype=dtype)
+
+    def test_resolver_gates(self):
+        import dataclasses as dc
+
+        from scso_tpu.algorithms.iterate import Options, _auto_lp
+
+        prob = self._prob()
+        m = scso.ProxGGNSCORE(solver="cg")
+        opts = Options()
+        # default AUTO stays off here (CPU backend / tiny A)
+        m2, p2 = _auto_lp(m, prob, opts)
+        assert getattr(p2, "A_lp", None) is None and m2.cg_lp_tol == 0.0
+        # True skips the backend/size gates: copy attached, floor set
+        m3, p3 = _auto_lp(dc.replace(m, auto_lp=True), prob, opts)
+        assert p3.A_lp is not None and p3.A_lp.dtype == jnp.bfloat16
+        assert m3.cg_lp_tol == pytest.approx(3e-4)
+        # correctness gates hold even when forced
+        for bad_m, bad_p, bad_o in [
+            (dc.replace(m, auto_lp=True, cg_adaptive=True), prob, opts),
+            (dc.replace(m, auto_lp=True, cg_lp_tol=1e-2), prob, opts),
+            (dc.replace(m, auto_lp=True, curvature_rows=64), prob, opts),
+            (dc.replace(m, auto_lp=True), self._prob(np.float64), opts),
+            (dc.replace(m, auto_lp=True), prob,
+             dc.replace(opts, batch_size=128)),
+            (dc.replace(m, auto_lp=True), prob,
+             dc.replace(opts, vmap_safe=True)),
+            (dc.replace(m, auto_lp=False), prob, opts),
+        ]:
+            mm, pp = _auto_lp(bad_m, bad_p, bad_o)
+            assert getattr(pp, "A_lp", None) is None, (bad_m, bad_o)
+
+    def test_forced_auto_solve_matches_plain(self):
+        prob = self._prob()
+        sm = scso.PHuberSmootherL1L2(1.0)
+        base = scso.iterate(scso.ProxGGNSCORE(solver="cg"), prob, "l1",
+                            sm, max_epoch=120, verbose=0)
+        s = scso.iterate(scso.ProxGGNSCORE(solver="cg", auto_lp=True),
+                         prob, "l1", sm, max_epoch=120, verbose=0)
+        np.testing.assert_allclose(s.obj[-1], base.obj[-1], rtol=1e-5)
+        np.testing.assert_allclose(s.x, base.x, atol=1e-3)
+
+
 class TestSubsampledCurvature:
     """ProxGGNSCORE.curvature_rows: exact RHS, strided-subsample GGN
     curvature (inexact subsampled proximal Newton) — each CG matvec

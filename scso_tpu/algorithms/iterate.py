@@ -256,7 +256,7 @@ def _effective_L(prob: Problem, alpha):
 _AUTO_LP_MIN_BYTES = 2 * 1024**3
 
 
-def _auto_lp(method, prob: Problem, opts: Options):
+def _auto_lp(method, prob: Problem, opts: Options, reg_name: str = "l1"):
     """Resolve ProxGGNSCORE.auto_lp — maybe attach a bf16 data copy and
     enable precision-adaptive CG at the forcing floor (host-side).
 
@@ -265,10 +265,14 @@ def _auto_lp(method, prob: Problem, opts: Options):
     trajectories (same epochs AND CG iterations both arms) — the bulk
     phase tolerates the bf16 matvec error because the tightening-only
     endgame re-runs f32 and owns the final accuracy. Correctness gates
-    mirror where the lp matvec actually acts (steps._lp_matvec): f32,
-    single-output GLM, full-batch, unsharded, CG solver, no manual
-    cg_lp_tol, not cg_adaptive. `auto_lp=True` skips only the
-    backend/size/HBM gates (tests); False disables.
+    mirror where the lp matvec actually acts (steps._lp_matvec /
+    steps._mo_lp_matvec): f32, GLM or multi-output GLM, full-batch, CG
+    solver, no manual cg_lp_tol, not cg_adaptive. Round 5 widened the
+    round-4 fence: row-sharded problems qualify (shard_problem shards
+    A_lp alongside A; the per-DEVICE footprint gates the HBM check) and
+    so do mglm problems (bf16 copy for the cached curvature matvecs).
+    `auto_lp=True` skips only the backend/size/HBM gates (tests); False
+    disables.
     """
     auto = getattr(method, "auto_lp", None)
     if auto is False or not isinstance(method, ProxGGNSCORE):
@@ -278,31 +282,43 @@ def _auto_lp(method, prob: Problem, opts: Options):
         return method, prob
     if (not prob.has_data or getattr(prob.A, "ndim", 0) != 2
             or isinstance(prob.A, jax.core.Tracer)
-            or getattr(prob, "A_lp", None) is not None
-            or getattr(prob, "mesh", None) is not None):
+            or getattr(prob, "A_lp", None) is not None):
         return method, prob
-    if (prob.glm is None or prob.mglm is not None
-            or jnp.dtype(prob.x0.dtype) != jnp.float32):
+    if (prob.glm is None and prob.mglm is None) \
+            or jnp.dtype(prob.x0.dtype) != jnp.float32:
         return method, prob
     if opts.batch_size is not None or opts.slice_samples or opts.vmap_safe:
         return method, prob
     from scso_tpu.algorithms.steps import (_cg_tol, _resolve_ggn_solver)
     if _resolve_ggn_solver(method, prob, prob.A, prob.x0) != "cg":
         return method, prob
+    mesh = getattr(prob, "mesh", None)
+    if mesh is not None and getattr(prob, "data_axis", None) is None:
+        return method, prob  # feature-sharded: no lp route (sharding.py)
+    if prob.mglm is not None:
+        # the mglm lp route lives in the CACHED path only
+        # (steps._mo_lp_matvec; the uncached _ggn_cg_direction mglm
+        # branch never consumes A_lp) — don't attach a dead copy
+        from scso_tpu.algorithms.steps import epoch_cache_enabled
+        if not epoch_cache_enabled(method, prob, reg_name, True):
+            return method, prob
     if auto is None:
         # measured-win gates: TPU bandwidth regime + HBM headroom for
         # the half-size copy (observed fit: 7.95 GiB A + 3.97 GiB copy
-        # on a 16 GiB v5e)
+        # on a 16 GiB v5e). On a mesh both A and the copy are
+        # row-sharded, so the PER-DEVICE footprint is what must fit.
         if jax.default_backend() != "tpu":
             return method, prob
-        if prob.A.nbytes < _AUTO_LP_MIN_BYTES:
+        ndev = mesh.shape[prob.data_axis] if mesh is not None else 1
+        shard_bytes = prob.A.nbytes // ndev
+        if shard_bytes < _AUTO_LP_MIN_BYTES:
             return method, prob
-        need = prob.A.nbytes * 1.55  # A + copy + workspace slack
+        need = shard_bytes * 1.55  # A + copy + workspace slack
         try:
             limit = jax.devices()[0].memory_stats()["bytes_limit"]
             fits = need <= 0.85 * limit
         except Exception:
-            fits = prob.A.nbytes <= 8.5 * 1024**3  # the measured-OK size
+            fits = shard_bytes <= 8.5 * 1024**3  # the measured-OK size
         if not fits:
             return method, prob
     method = dataclasses.replace(method, cg_lp_tol=_cg_tol(method,
@@ -368,7 +384,7 @@ def solve(method, prob: Problem, reg_name: str, sm, opts: Options,
     """
     prob = _effective_L(prob, alpha)
     method = _resolve_kernels(method, prob)
-    method, prob = _auto_lp(method, prob, opts)
+    method, prob = _auto_lp(method, prob, opts, reg_name)
     # The AUTO f32 CG floor (3e-4, steps._cg_tol) is the measured knee
     # for ~1e-6 relative objective gaps; a tighter f_tol can hit a
     # forcing-induced outer stall silently (the inexact-CG fixed point

@@ -471,36 +471,26 @@ def _forcing_tol(method, b, x, x_prev, ref_prev, it, endgame=False):
     return eta, ref
 
 
-def _lp_matvec(method, prob: Problem, As, w, lhr):
-    """Low-precision CG matvec for precision-adaptive CG, or None.
+def _lp_tol_refused(method, dtype) -> bool:
+    """True (with a one-shot warning) when cg_lp_tol sits below the
+    reachable CG forcing range for this dtype.
 
-    Requires the problem to carry a low-precision data copy
-    (``Problem.A_lp``, see algorithms.mixed.with_lp_copy) and
-    ``method.cg_lp_tol > 0``. Full-batch single-chip only: a batch slice
-    or a mesh-sharded A has no matching A_lp view.
-    """
-    A_lp = getattr(prob, "A_lp", None)
+    Under the tightening-only endgame schedule (f32, not cg_adaptive —
+    _forcing_tol endgame=True) the forcing DOES drop below the floor
+    once the outer steps shrink, so lp_tol == floor is exactly the
+    "bf16 through the bulk phase, f32 once the endgame tightens"
+    setting: the engage test `tol >= lp_tol` holds at the floor and
+    fails as soon as the schedule tightens. With cg_adaptive (or f64)
+    the tolerance never passes below the floor and equality would pin
+    bf16 through the endgame — refuse there. A threshold strictly below
+    the floor would keep the low-precision matvec engaged through the
+    ENDGAME — CG then chases a residual below the copy's own error and
+    burns cg_maxiter every epoch. Refuse rather than stall."""
     lp_tol = getattr(method, "cg_lp_tol", 0.0)
-    if (lp_tol <= 0.0 or A_lp is None
-            or getattr(prob, "mesh", None) is not None
-            or A_lp.shape != As.shape):
-        return None
-    floor = _cg_tol(method, w.dtype)
-    # Under the tightening-only endgame schedule (f32, not cg_adaptive —
-    # _forcing_tol endgame=True) the forcing DOES drop below the floor
-    # once the outer steps shrink, so lp_tol == floor is exactly the
-    # "bf16 through the bulk phase, f32 once the endgame tightens"
-    # setting: the engage test `tol >= lp_tol` holds at the floor and
-    # fails as soon as the schedule tightens. With cg_adaptive (or f64)
-    # the tolerance never passes below the floor and equality would pin
-    # bf16 through the endgame — keep refusing there.
-    endgame_mode = (jnp.finfo(w.dtype).bits <= 32
+    floor = _cg_tol(method, dtype)
+    endgame_mode = (jnp.finfo(dtype).bits <= 32
                     and not method.cg_adaptive)
     if lp_tol < floor or (lp_tol == floor and not endgame_mode):
-        # a threshold below the reachable forcing range would keep the
-        # low-precision matvec engaged through the ENDGAME — CG then
-        # chases a residual below the copy's own error and burns
-        # cg_maxiter every epoch. Refuse rather than stall.
         _warn_once(
             ("lp-tol-floor", (lp_tol, floor)),
             f"cg_lp_tol={lp_tol:g} is <= the CG tolerance floor "
@@ -509,7 +499,44 @@ def _lp_matvec(method, prob: Problem, As, w, lhr):
             "copy's own error. Disabled; set cg_lp_tol well above "
             "cg_tol (e.g. 1e-2).",
         )
+        return True
+    return False
+
+
+def _lp_matvec(method, prob: Problem, As, w, lhr):
+    """Low-precision CG matvec for precision-adaptive CG, or None.
+
+    Requires the problem to carry a low-precision data copy
+    (``Problem.A_lp``, see algorithms.mixed.with_lp_copy) and
+    ``method.cg_lp_tol > 0``. Full-batch only: a batch slice has no
+    matching A_lp view (the shape check below). Row-sharded problems ARE
+    supported (round 5): shard_problem shards A_lp alongside A, and the
+    matvec routes through the shard_map'd fused kernel (or
+    GSPMD-partitioned matmuls) exactly like _weighted_system's f32 path.
+    """
+    A_lp = getattr(prob, "A_lp", None)
+    lp_tol = getattr(method, "cg_lp_tol", 0.0)
+    if (lp_tol <= 0.0 or A_lp is None
+            or A_lp.shape != As.shape):
         return None
+    if _lp_tol_refused(method, w.dtype):
+        return None
+    mesh = getattr(prob, "mesh", None)
+    if mesh is not None:
+        axis = prob.data_axis
+        shard_m = A_lp.shape[0] // mesh.shape[axis]
+        if (method.kernels == "pallas"
+                and supports_fused_normal_matvec(shard_m, A_lp.shape[1],
+                                                 A_lp.dtype.itemsize)):
+            return lambda v: fused_normal_matvec_sharded(
+                A_lp, w, v, mesh, axis,
+                overlap_chunks=getattr(method, "comm_overlap_chunks", 1),
+            ) + lhr * v
+        # GSPMD route: A_lp carries A's row sharding (shard_problem), w
+        # is row-sharded elementwise, v replicated — XLA psums the
+        # partials exactly like the f32 operator
+        return lambda v: (A_lp.T @ (w * (A_lp @ v))
+                          ).astype(w.dtype) + lhr * v
     if (method.kernels == "pallas"
             and supports_fused_normal_matvec(*A_lp.shape,
                                              A_lp.dtype.itemsize)):
@@ -666,28 +693,17 @@ def epoch_cache_enabled(method, prob: Problem, reg_name: str,
     if 0 < K < prob.A.shape[0] and getattr(prob, "mesh", None) is None:
         return False
     # cg_lp_tol / static_precond only ACT when the problem carries the
-    # matching attachment (A_lp / col_sumsq). The cached single-output
-    # path routes its curvature matvecs through A_lp itself
-    # (_ggn_cg_from_cache), so an ACTING lp no longer disables the
-    # cache; a REFUSED lp threshold (below the reachable forcing range,
-    # _lp_matvec's rule) surfaces the same warning here because the
-    # cached solve reaches _lp_matvec only after priming
+    # matching attachment (A_lp / col_sumsq). The cached paths route
+    # their curvature matvecs through A_lp themselves — single-output
+    # (_ggn_cg_from_cache, incl. row-sharded via the shard_map'd
+    # kernel) and multi-output (_mo_cg_from_cache) — so an ACTING lp no
+    # longer disables the cache; a REFUSED lp threshold (below the
+    # reachable forcing range, _lp_matvec's rule) surfaces the same
+    # warning here because the cached solve reaches _lp_matvec only
+    # after priming
     lp_tol = float(getattr(method, "cg_lp_tol", 0.0))
-    if (lp_tol > 0 and getattr(prob, "A_lp", None) is not None
-            and getattr(prob, "mesh", None) is None
-            and mo is None):
-        floor = _cg_tol(method, prob.x0.dtype)
-        endgame_mode = (jnp.finfo(prob.x0.dtype).bits <= 32
-                        and not method.cg_adaptive)
-        if lp_tol < floor or (lp_tol == floor and not endgame_mode):
-            _warn_once(
-                ("lp-tol-floor", (lp_tol, floor)),
-                f"cg_lp_tol={lp_tol:g} is <= the CG tolerance floor "
-                f"{floor:g} — the low-precision matvec would stay "
-                "engaged through the convergence endgame and stall CG "
-                "below the copy's own error. Disabled; set cg_lp_tol "
-                "well above cg_tol (e.g. 1e-2).",
-            )
+    if lp_tol > 0 and getattr(prob, "A_lp", None) is not None:
+        _lp_tol_refused(method, prob.x0.dtype)
     if (getattr(method, "static_precond", False)
             and getattr(prob, "col_sumsq", None) is not None):
         return False
@@ -908,11 +924,47 @@ def _greedy_update_cached(method, prob: Problem, reg_name, sm, As, ys,
     return x_new, pri, dx, fc
 
 
+def _mo_curv_matvec(method, prob: Problem, Amat, ys, Z, g, lhr, pf, k):
+    """Curvature-matvec closure for the multi-output cached path against
+    an arbitrary data-matrix view ``Amat`` (A itself, or the bf16 A_lp
+    copy for precision-adaptive CG — the spec's quad and the cached Z
+    stay f32 either way; only the two A contractions go narrow)."""
+    out_dt = Z.dtype
+    use_fused = (method.kernels == "pallas"
+                 and getattr(prob, "mesh", None) is None
+                 and getattr(ys, "ndim", 0) == 2
+                 and supports_fused_mglm_matvec(Amat.shape[0], pf, k,
+                                                Amat.dtype.itemsize))
+    if use_fused:
+        return lambda v: fused_mglm_matvec(
+            Amat, ys, Z, v.reshape(pf, k), g.quad).reshape(-1) + lhr * v
+    return lambda v: (Amat.T @ g.quad(ys, Z, (Amat @ v.reshape(pf, k)
+                                              ).astype(out_dt))
+                      ).astype(out_dt).reshape(-1) + lhr * v
+
+
+def _mo_lp_matvec(method, prob: Problem, As, ys, Z, g, lhr, pf, k):
+    """Low-precision curvature matvec for the multi-output cached path,
+    or None — the mglm analogue of _lp_matvec (round 5): while the
+    tightening-only forcing sits at the floor, the two (m×p)·(p×k) CG
+    contractions stream the bf16 copy at half the HBM traffic; the
+    cached Z, the spec's per-sample quad action and the RHS stay f32."""
+    A_lp = getattr(prob, "A_lp", None)
+    lp_tol = getattr(method, "cg_lp_tol", 0.0)
+    if lp_tol <= 0.0 or A_lp is None or A_lp.shape != As.shape:
+        return None
+    if _lp_tol_refused(method, Z.dtype):
+        return None
+    return _mo_curv_matvec(method, prob, A_lp, ys, Z, g, lhr, pf, k)
+
+
 def _mo_cg_from_cache(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
                       cache: MOGLMCache, d_prev, it, bnorm_prev, x_prev):
     """Multi-output GGN/Newton-CG direction from the carried MOGLMCache:
     the Z/gradient/Jacobi prep reads disappear; each CG matvec applies
-    the per-sample k×k curvature action from the cached Z."""
+    the per-sample k×k curvature action from the cached Z. With an
+    attached A_lp + engaging cg_lp_tol (auto_lp resolves both), the
+    bulk-phase matvecs stream the bf16 copy (_mo_lp_matvec)."""
     g = prob.mglm
     k, pf = _mo_shapes(g, x)
     lhr = lam * Hr_diag
@@ -921,22 +973,19 @@ def _mo_cg_from_cache(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,
     hdiag = cache.hd_raw + lhr
     M_inv = lambda v: v / jnp.maximum(hdiag, tiny)
     Z = cache.Z
-    use_fused = (method.kernels == "pallas"
-                 and getattr(prob, "mesh", None) is None
-                 and getattr(ys, "ndim", 0) == 2
-                 and supports_fused_mglm_matvec(As.shape[0], pf, k,
-                                                As.dtype.itemsize))
-    if use_fused:
-        mv = lambda v: fused_mglm_matvec(
-            As, ys, Z, v.reshape(pf, k), g.quad).reshape(-1) + lhr * v
-    else:
-        mv = lambda v: (As.T @ g.quad(ys, Z, As @ v.reshape(pf, k))
-                        ).reshape(-1) + lhr * v
+    mv = _mo_curv_matvec(method, prob, As, ys, Z, g, lhr, pf, k)
     xp = x if x_prev is None else x_prev
     tol, bnorm = _forcing_tol(method, b, x, xp, bnorm_prev, it,
                               endgame=True)
-    res = cg_solve(mv, b, d_prev, tol=tol, maxiter=method.cg_maxiter,
-                   M_inv=M_inv)
+    mv_lp = _mo_lp_matvec(method, prob, As, ys, Z, g, lhr, pf, k)
+    if mv_lp is not None:
+        run = lambda m_: cg_solve(m_, b, d_prev, tol=tol,
+                                  maxiter=method.cg_maxiter, M_inv=M_inv)
+        res = jax.lax.cond(tol >= method.cg_lp_tol,
+                           lambda _: run(mv_lp), lambda _: run(mv), None)
+    else:
+        res = cg_solve(mv, b, d_prev, tol=tol, maxiter=method.cg_maxiter,
+                       M_inv=M_inv)
     return res.x, res.iters, bnorm
 
 

@@ -124,6 +124,18 @@ def load_rows_sharded(path: str, mesh: Mesh, data_axis: str = "data",
     chunk_rows = max(1, int(chunk_bytes) // row_bytes)
     import jax.numpy as jnp
 
+    # DONATED shard assembly: an eager `buf.at[lo:hi].set(chunk)` keeps
+    # BOTH the old and new shard buffers alive during the scatter — a 2×
+    # HBM transient that OOMs once a shard passes half the device memory
+    # (the 10⁷×256 = 10.2 GiB single-chip shard, benchmarks/
+    # northstar_rows). A jitted dynamic_update_slice with the shard
+    # buffer donated updates in place on TPU (donation is a no-op on
+    # CPU, where the virtual-mesh shards are test-sized anyway).
+    upd = jax.jit(
+        lambda b, c, lo: jax.lax.dynamic_update_slice(
+            b, c, (lo,) + (jnp.int32(0),) * (c.ndim - 1)),
+        donate_argnums=0)
+
     shards = []
     devs = []
     for dev, index in sharding.addressable_devices_indices_map(
@@ -139,8 +151,8 @@ def load_rows_sharded(path: str, mesh: Mesh, data_axis: str = "data",
             block = _read_rows(path, offset, file_dt, shape[1:], clo, chi)
             if block.dtype != dt:
                 block = block.astype(dt)
-            buf = buf.at[clo - lo:chi - lo].set(
-                jax.device_put(block, dev))
+            buf = upd(buf, jax.device_put(block, dev),
+                      jnp.int32(clo - lo))
             # SYNC PER CHUNK — without it the whole transfer chain is
             # queued async and every chunk's host source buffer stays
             # pinned until the final sync: host RSS grows to the FULL

@@ -148,10 +148,12 @@ def shard_problem(prob: Problem, mesh: Mesh,
         lb=put_rep(prob.lb),
         ub=put_rep(prob.ub),
         groups=replicate(prob.groups, mesh),
-        # precision-adaptive CG gates itself off on a mesh (steps.
-        # _lp_matvec); carrying the copy would only replicate A.nbytes/2
-        # of dead weight onto every device
-        A_lp=None,
+        # precision-adaptive CG composes with row sharding (round 5):
+        # the bf16 copy rides the same row sharding as A, and
+        # steps._lp_matvec routes the CG curvature matvecs through the
+        # shard_map'd fused kernel (or GSPMD-partitioned matmuls) —
+        # every shard streams half the HBM bytes through the bulk phase
+        A_lp=put_rows(prob.A_lp),
         mesh=mesh,
         data_axis=data_axis,
     )

@@ -348,3 +348,74 @@ class TestFusedMglmMatvec:
         assert KERNEL_HITS["fused_mglm_matvec"] > before  # engaged
         np.testing.assert_allclose(np.asarray(s_p.x), np.asarray(s_x.x),
                                    rtol=1e-8, atol=1e-10)
+
+
+class TestMultiOutputPrecisionAdaptiveCG:
+    """Round 5: the mglm analogue of precision-adaptive CG — the cached
+    multi-output path (steps._mo_lp_matvec) streams an attached A_lp
+    copy for its curvature matvecs while the tightening-only forcing
+    sits at the floor; Z, quad and the RHS stay full precision."""
+
+    FLOOR = 3e-4  # steps._cg_tol f32 AUTO value
+
+    def _prob(self, **kw):
+        return make_mglm_problem(m=64, p=16, k=4, dtype=np.float32, **kw)
+
+    def _solve(self, prob, method):
+        return scso.iterate(method, prob, "l1",
+                            scso.PHuberSmootherL1L2(1.0), max_epoch=60,
+                            verbose=0, alpha=1.0)
+
+    def test_same_dtype_copy_bitmatch(self):
+        prob = self._prob()
+        base = self._solve(prob, scso.ProxGGNSCORE(solver="cg"))
+        p_same = scso.with_lp_copy(prob, dtype=prob.A.dtype)
+        s = self._solve(p_same, scso.ProxGGNSCORE(
+            solver="cg", cg_lp_tol=self.FLOOR))
+        np.testing.assert_array_equal(np.asarray(s.x), np.asarray(base.x))
+
+    def test_lp_branch_engages(self):
+        """Poisoned (zero) copy + lp_tol == floor must change the
+        trajectory — positive proof the cond picks the copy on the
+        cached multi-output path."""
+        from scso_tpu._src.struct import replace as dc_replace
+
+        prob = self._prob()
+        base = self._solve(prob, scso.ProxGGNSCORE(solver="cg"))
+        p_poison = dc_replace(prob, A_lp=jnp.zeros_like(prob.A))
+        s = self._solve(p_poison, scso.ProxGGNSCORE(
+            solver="cg", cg_lp_tol=self.FLOOR))
+        assert not np.array_equal(np.asarray(s.x), np.asarray(base.x))
+
+    def test_bf16_copy_reaches_same_optimum(self):
+        prob = scso.with_lp_copy(self._prob())
+        base = self._solve(prob, scso.ProxGGNSCORE(solver="cg"))
+        s = self._solve(prob, scso.ProxGGNSCORE(
+            solver="cg", cg_lp_tol=self.FLOOR))
+        np.testing.assert_allclose(np.asarray(s.obj[-1]),
+                                   np.asarray(base.obj[-1]), rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(s.x), np.asarray(base.x),
+                                   atol=2e-3)
+
+    def test_auto_lp_resolver_attaches_for_mglm(self):
+        from scso_tpu.algorithms.iterate import Options, _auto_lp
+
+        prob = self._prob()
+        m = scso.ProxGGNSCORE(solver="cg", auto_lp=True)
+        m2, p2 = _auto_lp(m, prob, Options())
+        assert p2.A_lp is not None and p2.A_lp.dtype == jnp.bfloat16
+        assert m2.cg_lp_tol == pytest.approx(self.FLOOR)
+
+    def test_auto_lp_skips_mglm_without_cache_path(self):
+        """An mglm spec without loss_sample can't take the cached path —
+        the resolver must not attach a dead copy (the uncached mglm
+        branch never consumes A_lp)."""
+        from scso_tpu.algorithms.iterate import Options, _auto_lp
+        from scso_tpu._src.struct import replace as dc_replace
+
+        prob = self._prob()
+        spec = prob.mglm._replace(loss_sample=None)  # NamedTuple spec
+        p_nocache = dc_replace(prob, mglm=spec)
+        m = scso.ProxGGNSCORE(solver="cg", auto_lp=True)
+        _, p2 = _auto_lp(m, p_nocache, Options())
+        assert getattr(p2, "A_lp", None) is None

@@ -563,3 +563,93 @@ class TestCommOverlap:
             sprob, "l1", sm, **kw)
         np.testing.assert_allclose(over.x, base.x, atol=1e-9)
         assert over.epochs == base.epochs
+
+
+class TestShardedPrecisionAdaptiveCG:
+    """Round 5: precision-adaptive CG composes with row sharding —
+    shard_problem shards A_lp alongside A and steps._lp_matvec routes
+    the bulk-phase curvature matvecs through the sharded copy."""
+
+    FLOOR = 3e-4  # steps._cg_tol f32 AUTO value
+
+    def _prob(self):
+        A, y, x0, _ = synthetic.make_sparse_logreg_data(
+            64, 16, density=0.3, n_active=4, seed=5, dtype=np.float32,
+            label01=True)
+        return scso.Problem(
+            A, y, x0, losses.logistic01_f, 1e-2,
+            grad_fx=losses.logistic01_grad,
+            out_fn=losses.sigmoid_out,
+            grad_fy=losses.logistic_ggn_residual,
+            hess_fy_diag=losses.logistic_ggn_qdiag,
+            loss_fn=losses.logistic_loss_01,
+            hvp_w=losses.logistic01_hvp_w, ggn_w=losses.logistic_ggn_w,
+            glm=losses.LOGISTIC01_GLM, dtype=np.float32)
+
+    def _solve(self, prob, method):
+        return scso.iterate(method, prob, "l1",
+                            scso.PHuberSmootherL1L2(1.0), max_epoch=60,
+                            verbose=0)
+
+    def test_shard_problem_shards_a_lp(self):
+        prob = scso.with_lp_copy(self._prob())
+        sprob = shard_problem(prob, make_mesh())
+        assert sprob.A_lp is not None
+        assert sprob.A_lp.sharding.spec[0] == "data"
+        assert sprob.A_lp.dtype == jnp.bfloat16
+
+    def test_sharded_same_dtype_copy_bitmatch(self):
+        """A same-dtype copy is identical math whichever cond branch
+        runs — the sharded lp solve must bit-match the sharded no-lp
+        solve (engagement changes nothing but the operand identity)."""
+        prob = self._prob()
+        mesh = make_mesh()
+        base = self._solve(shard_problem(prob, mesh),
+                           scso.ProxGGNSCORE(solver="cg"))
+        p_same = shard_problem(
+            scso.with_lp_copy(prob, dtype=prob.A.dtype), mesh)
+        s = self._solve(p_same, scso.ProxGGNSCORE(
+            solver="cg", cg_lp_tol=self.FLOOR))
+        np.testing.assert_array_equal(s.x, base.x)
+
+    @pytest.mark.parametrize("cache", [None, False])
+    def test_sharded_lp_branch_engages(self, cache):
+        """Poisoned (zero) sharded copy + lp_tol == floor must change
+        the trajectory vs the plain sharded solve — positive proof the
+        cond picks the sharded copy in the bulk phase, cached and
+        uncached."""
+        from scso_tpu._src.struct import replace as dc_replace
+
+        prob = self._prob()
+        mesh = make_mesh()
+        sprob = shard_problem(prob, mesh)
+        base = self._solve(sprob, scso.ProxGGNSCORE(solver="cg",
+                                                    epoch_cache=cache))
+        p_poison = shard_problem(
+            dc_replace(prob, A_lp=jnp.zeros_like(prob.A)), mesh)
+        s = self._solve(p_poison, scso.ProxGGNSCORE(
+            solver="cg", cg_lp_tol=self.FLOOR, epoch_cache=cache))
+        assert not np.array_equal(s.x, base.x)
+
+    def test_sharded_bf16_copy_reaches_same_optimum(self):
+        prob = self._prob()
+        mesh = make_mesh()
+        base = self._solve(shard_problem(prob, mesh),
+                           scso.ProxGGNSCORE(solver="cg"))
+        p_lp = shard_problem(scso.with_lp_copy(prob), mesh)
+        s = self._solve(p_lp, scso.ProxGGNSCORE(
+            solver="cg", cg_lp_tol=self.FLOOR))
+        np.testing.assert_allclose(s.obj[-1], base.obj[-1], rtol=2e-5)
+        np.testing.assert_allclose(s.x, base.x, atol=2e-3)
+
+    def test_auto_lp_resolver_attaches_sharded_copy(self):
+        import dataclasses as dc
+
+        from scso_tpu.algorithms.iterate import Options, _auto_lp
+
+        sprob = shard_problem(self._prob(), make_mesh())
+        m = scso.ProxGGNSCORE(solver="cg", auto_lp=True)
+        m2, p2 = _auto_lp(m, sprob, Options())
+        assert p2.A_lp is not None
+        assert p2.A_lp.sharding.spec[0] == "data"
+        assert m2.cg_lp_tol == pytest.approx(self.FLOOR)

@@ -104,6 +104,15 @@ def main():
         comp["greedy_pass"] = (bench_chained(
             lambda xb, Ab, yb: g.loss_z(yb, Ab @ W(xb)), x, Ad, yd), 1.0)
 
+    # round-5: the epoch-cached path's dual-candidate prep (the 3-A-read
+    # jnp batched form, steps._moglm_pair_prep) — the component the
+    # round-4 verdict names as the remaining fusion candidate
+    from scso_tpu.algorithms.steps import _moglm_pair_prep
+    comp["pair_prep"] = (bench_chained(
+        lambda xb, Ab, yb: _moglm_pair_prep(Ab, yb, g, xb,
+                                            0.99 * xb)[0][1],
+        x, Ad, yd), 3.0)
+
     rows = {}
     for name, (sec, passes) in comp.items():
         rows[name] = dict(ms=round(sec * 1e3, 3),

@@ -114,7 +114,7 @@ def get_reg(model, x, reg_name: str):
 # (prox-reg-utils.jl:27-62) — ours consumes the same 3×G `ind` matrix.
 get_P = make_groups_from_ind
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "Problem",

@@ -254,6 +254,12 @@ def _effective_L(prob: Problem, alpha):
 # the smaller of the two shapes where the 21-23% win was measured
 # (benchmarks/lp_ab.py on v5e); CPU-test shapes sit far below it.
 _AUTO_LP_MIN_BYTES = 2 * 1024**3
+# Multi-output problems amortize the copy harder — the cached mglm
+# epoch is ~96% CG matvecs at ~9.5 iters/epoch (benchmarks/
+# mglm_audit.py round 5), so the bf16 copy was a measured 27% epoch win
+# already at 196608×1024×16 = 0.805 GB (38.8 → 28.3 ms/epoch, identical
+# objective and CG counts) — the mglm threshold sits below that shape.
+_AUTO_LP_MIN_BYTES_MGLM = 512 * 1024**2
 
 
 def _auto_lp(method, prob: Problem, opts: Options, reg_name: str = "l1"):
@@ -311,7 +317,9 @@ def _auto_lp(method, prob: Problem, opts: Options, reg_name: str = "l1"):
             return method, prob
         ndev = mesh.shape[prob.data_axis] if mesh is not None else 1
         shard_bytes = prob.A.nbytes // ndev
-        if shard_bytes < _AUTO_LP_MIN_BYTES:
+        min_bytes = (_AUTO_LP_MIN_BYTES_MGLM if prob.mglm is not None
+                     else _AUTO_LP_MIN_BYTES)
+        if shard_bytes < min_bytes:
             return method, prob
         need = shard_bytes * 1.55  # A + copy + workspace slack
         try:

@@ -731,9 +731,18 @@ def _moglm_pair_prep(As, ys, g, x_t, x_d):
     per-candidate quantities batch into single (m×p)·(p×2k) matmuls) —
     vs 3 prep + 2 trial objective passes + the stats pass uncached.
     Returns two (Z, grad_vec, hd_raw, loss) tuples, losses normalized.
-    A fused single-read Pallas pair kernel is a possible follow-up (the
-    mglm_matvec sublane-k layout applies); the XLA form already removes
-    more than half the per-epoch A-traffic."""
+
+    A fused single-read Pallas pair kernel was the round-4 follow-up
+    candidate and is now a MEASURED NEGATIVE (round 5,
+    benchmarks/mglm_audit.py at 196608×1024×16 on v5e): XLA already
+    fuses this 3-pass form to 3.75 ms = 643 GB/s effective (< 2 true
+    A-reads' worth of HBM time), and the cached epoch is ~96% CG
+    matvecs (9.47 iters × 3.0 ms fused) — a perfect single-read prep
+    kernel at roof (~1.25 ms) would buy at most ~8-12% of the epoch,
+    within the audit's no-go bar. The measured 27% epoch win on this
+    family came from precision-adaptive CG instead (bf16 curvature
+    matvecs, _mo_lp_matvec: 38.8 → 28.3 ms/epoch, identical objective
+    and CG counts — iterate._AUTO_LP_MIN_BYTES_MGLM)."""
     k, pf = _mo_shapes(g, x_t)
     m = As.shape[0]
     W2 = jnp.concatenate(
@@ -924,13 +933,23 @@ def _greedy_update_cached(method, prob: Problem, reg_name, sm, As, ys,
     return x_new, pri, dx, fc
 
 
-def _mo_curv_matvec(method, prob: Problem, Amat, ys, Z, g, lhr, pf, k):
+def _mo_curv_matvec(method, prob: Problem, Amat, ys, Z, g, lhr, pf, k,
+                    prefer_fused=True):
     """Curvature-matvec closure for the multi-output cached path against
     an arbitrary data-matrix view ``Amat`` (A itself, or the bf16 A_lp
     copy for precision-adaptive CG — the spec's quad and the cached Z
-    stay f32 either way; only the two A contractions go narrow)."""
+    stay f32 either way; only the two A contractions go narrow).
+
+    ``prefer_fused=False`` forces the XLA two-matmul form — the
+    measured-best route for the bf16 copy (in-jit chained matvecs at
+    196608×1024×16 on v5e, round 5): the fused kernel is COMPUTE-bound
+    at ~304 GB/s effective (k-sublane MXU padding + quad VPU), so bf16
+    tiles buy it nothing (2.65 → 2.73 ms), while the XLA pair drops
+    3.41 → 2.34 ms with bf16 operands — faster than the fused f32
+    kernel itself."""
     out_dt = Z.dtype
-    use_fused = (method.kernels == "pallas"
+    use_fused = (prefer_fused
+                 and method.kernels == "pallas"
                  and getattr(prob, "mesh", None) is None
                  and getattr(ys, "ndim", 0) == 2
                  and supports_fused_mglm_matvec(Amat.shape[0], pf, k,
@@ -947,15 +966,20 @@ def _mo_lp_matvec(method, prob: Problem, As, ys, Z, g, lhr, pf, k):
     """Low-precision curvature matvec for the multi-output cached path,
     or None — the mglm analogue of _lp_matvec (round 5): while the
     tightening-only forcing sits at the floor, the two (m×p)·(p×k) CG
-    contractions stream the bf16 copy at half the HBM traffic; the
-    cached Z, the spec's per-sample quad action and the RHS stay f32."""
+    contractions stream the bf16 copy; the cached Z, the spec's
+    per-sample quad action and the RHS stay f32. Routed through the
+    XLA pair, not the fused kernel (prefer_fused=False — see
+    _mo_curv_matvec: the kernel is compute-bound and gains nothing from
+    narrow tiles; the bf16 XLA pair is the measured-fastest operator at
+    the bench shape, 2.34 vs 2.65 ms fused-f32)."""
     A_lp = getattr(prob, "A_lp", None)
     lp_tol = getattr(method, "cg_lp_tol", 0.0)
     if lp_tol <= 0.0 or A_lp is None or A_lp.shape != As.shape:
         return None
     if _lp_tol_refused(method, Z.dtype):
         return None
-    return _mo_curv_matvec(method, prob, A_lp, ys, Z, g, lhr, pf, k)
+    return _mo_curv_matvec(method, prob, A_lp, ys, Z, g, lhr, pf, k,
+                           prefer_fused=False)
 
 
 def _mo_cg_from_cache(method, prob: Problem, As, ys, x, gr, Hr_diag, lam,

@@ -81,6 +81,26 @@ def _make_kernel(br: int, acc_dtype):  # br kept for cache keying
     return _kernel
 
 
+# MEASURED NEGATIVE (round 5, 10002432×128 f32 on v5e): at narrow n the
+# kernel LOSES to the XLA two-matmul pair — 24.8 ms/pass (207 GB/s
+# A-bytes) vs 16.7 ms (307 GB/s; 571 GB/s ACTUAL HBM for its 2 reads,
+# near the ~820 GB/s roof). Cause: the (BR, 1) w block tiles as
+# T(8,128) — br/8 four-KB tiles — so its DMA is br×512 bytes vs the
+# A tile's br×n×itemsize: at n = 128 f32 the padded w stream EQUALS the
+# A tile and the "one-read" kernel actually moves 2× A-bytes at a worse
+# schedule. Alternatives were tried and rejected: (a) streaming w as
+# zero-padded (BR/128, 128) lane-major blocks needs an in-kernel
+# (BR/128, 128)→(BR, 1) relayout that Mosaic cannot lower
+# ("infer-vector-layout: unsupported shape cast"); (b) computing both
+# contractions on the MXU with lane-major (1, BR) intermediates (the
+# mglm variant-B trick at k = 1) is M=1-row-bound — ~8.7 µs per
+# contraction per 8192-row tile ≈ 21 ms/pass, still worse than XLA.
+# The w-padding overhead ratio is 512/(n·itemsize), so the kernel is
+# gated to n·itemsize ≥ _MIN_N_BYTES where the one-read property wins
+# (measured at 2500608×512 f32: fused 13.9 ms vs XLA 17.1).
+_MIN_N_BYTES = 1024
+
+
 def _pick_block_rows(m: int, n: int, itemsize: int) -> int:
     # VMEM per element: double-buffered streamed tile (2×itemsize) plus,
     # for narrow dtypes, the in-register f32 upcast copy (4 bytes) — a
@@ -144,6 +164,11 @@ def supports_fused_normal_matvec(m: int, n: int, itemsize: int = 4) -> bool:
     (1, n) row vectors to fit scoped VMEM — at large n the row count
     clamps to 128 and the tile grows ∝ n (f32 ceiling ≈ n = 13.9k)."""
     if not (0 < n <= _MAX_N and m >= 8 and n % 128 == 0):
+        return False
+    if n * itemsize < _MIN_N_BYTES:
+        # the (br, 1) w stream's T(8,128) padding (512 B/row) rivals the
+        # A tile itself at narrow n — measured loser vs the XLA pair
+        # (see _MIN_N_BYTES); let XLA run its near-roof two-matmul form
         return False
     eff = 2 * itemsize + (4 if itemsize < 4 else 0)
     br = _pick_block_rows(m, n, itemsize)

@@ -1,0 +1,154 @@
+"""Endgame-creep regression property (round-4 verdict Next #6).
+
+docs/STATUS.md (round-4 centerpiece) documents the f32 failure mode the
+tightening-only CG forcing schedule (steps._forcing_tol endgame=True)
+exists to kill: at a FIXED forcing tolerance the inexact iteration owns
+a fixed point a ~1e-5 relative gap away from the true optimum, and once
+the damped dynamics converge to THAT point the recorded objective
+orbits/creeps above the 1e-6 target for hundreds of epochs — an
+ulp-sensitive restart lottery (180–648-epoch stalls re-triggered by
+bit-level changes).
+
+This suite pins the property directly, across families × seeds in f32:
+once a gap-anchored solve first reaches 3× the target gap (the "knee"),
+it must close the remaining gap within K more epochs. A reversion of
+the tightening-only schedule re-creates the inexact fixed point just
+outside the target and fails the bound; the meta-test below
+demonstrates the schedule is load-bearing on these exact configs by
+diffing trajectories with the endgame disabled.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import scso_tpu as scso
+from scso_tpu.models import losses, synthetic
+from scso_tpu._src.struct import replace as dc_replace
+
+GAP = 1e-6
+KNEE = 3 * GAP
+K_EPOCHS = 15  # max epochs allowed from the knee to the target gap
+
+
+def _logistic_prob(m, n, seed):
+    A, y, x0, _ = synthetic.make_sparse_logreg_data(
+        m, n, density=0.2, n_active=max(4, n // 8), seed=seed,
+        dtype=np.float32, label01=True)
+    return scso.Problem(
+        A, y, x0, losses.logistic01_f, 0.01,
+        grad_fx=losses.logistic01_grad, out_fn=losses.sigmoid_out,
+        grad_fy=losses.logistic_ggn_residual,
+        hess_fy_diag=losses.logistic_ggn_qdiag,
+        loss_fn=losses.logistic_loss_01,
+        hvp_w=losses.logistic01_hvp_w, ggn_w=losses.logistic_ggn_w,
+        glm=losses.LOGISTIC01_GLM, dtype=np.float32)
+
+
+def _lsq_prob(m, n, seed):
+    A, y, x_true, x0, groups = synthetic.make_group_lasso_problem(
+        m, n, 8, p_active=0.3, noise_std=0.05, seed=seed,
+        dtype=np.float32)
+    return scso.Problem(
+        A, y, x0, losses.lsq_f, 1e-3,
+        grad_fx=losses.lsq_grad, out_fn=losses.linear_out,
+        loss_fn=losses.lsq_loss, grad_fy=losses.lsq_ggn_residual,
+        hess_fy_diag=losses.lsq_ggn_qdiag, glm=losses.LSQ_GLM,
+        dtype=np.float32)
+
+
+# (name, problem factory, method, alpha) — alpha=1.0 is the bench
+# full-step setting for GGN; Newton keeps the default damped step size
+# (alpha=1.0 Newton diverges on some seeds — NaN by epoch 3)
+CONFIGS = [
+    ("ggn_damped", _logistic_prob,
+     scso.ProxGGNSCORE(solver="cg", greedy_alpha=False), 1.0),
+    ("ggn_greedy", _logistic_prob,
+     scso.ProxGGNSCORE(solver="cg", greedy_alpha=True), 1.0),
+    ("ggn_lsq", _lsq_prob, scso.ProxGGNSCORE(solver="cg"), 1.0),
+    ("newton_cg", _logistic_prob, scso.ProxNSCORE(solver="cg"), None),
+]
+SEEDS = [3, 11]
+
+
+def _anchored(prob, method, sm, alpha):
+    """Presolve to the family's own optimum (best-chunk anchor, the
+    bench protocol) and return the gap-anchored problem."""
+    run = lambda p: scso.iterate(method, p, "l1", sm, x_tol=1e-12,
+                                 f_tol=0.0, max_epoch=120, verbose=0,
+                                 alpha=alpha)
+    cur, best, x_opt = prob, np.inf, None
+    for _ in range(6):
+        s = run(cur)
+        if s.obj[-1] < best:
+            best = s.obj[-1]
+            x_opt = s.state.x
+        if not s.obj[-1] < best * (1 - 1e-7):
+            break
+        cur = dc_replace(cur, x0=s.state.x)
+    return dc_replace(prob, x_star=jnp.asarray(x_opt))
+
+
+def _knee_to_target(objrel, n_rec):
+    """(knee_epoch, converged_epoch or None) from a per-epoch gap
+    history; objrel is floored at f_tol by the solve, so 'converged'
+    is objrel <= GAP (within float slop)."""
+    g = np.asarray(objrel[:n_rec], np.float64)
+    knee = np.flatnonzero(g < KNEE)
+    conv = np.flatnonzero(g <= GAP * 1.0001)
+    return (int(knee[0]) if knee.size else None,
+            int(conv[0]) if conv.size else None)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+@pytest.mark.parametrize("name,make,method,alpha",
+                         CONFIGS, ids=[c[0] for c in CONFIGS])
+def test_no_post_knee_creep(name, make, method, alpha, seed):
+    """Every f32 solve that reaches 3× the target gap must reach the
+    target within K_EPOCHS more — the exact property whose silent
+    failure ate round 3's headline number (60-epoch-plateau orbits of
+    the inexact-CG fixed point)."""
+    prob = make(384, 64, seed)
+    sm = scso.PHuberSmootherL1L2(1.0)
+    aprob = _anchored(prob, method, sm, alpha)
+    sol = scso.iterate(method, aprob, "l1", sm, x_tol=1e-14, f_tol=GAP,
+                       max_epoch=200, verbose=0, alpha=alpha,
+                       stats_every=1)
+    n_rec = int(sol.epochs) + 1
+    knee, conv = _knee_to_target(sol.objrel, n_rec)
+    assert knee is not None, (
+        f"{name}/seed{seed}: never reached the {KNEE:g} knee "
+        f"(final gap {float(sol.objrel[-1]):.3e}) — anchor too weak?")
+    assert conv is not None, (
+        f"{name}/seed{seed}: reached the knee at epoch {knee} but "
+        f"never the {GAP:g} target within 200 epochs (final "
+        f"{float(np.asarray(sol.objrel)[n_rec - 1]):.3e}) — endgame "
+        "creep (inexact-CG fixed point outside the target gap?)")
+    assert conv - knee <= K_EPOCHS, (
+        f"{name}/seed{seed}: {conv - knee} epochs from knee to target "
+        f"(> {K_EPOCHS}) — post-knee creep regression")
+
+
+def test_endgame_schedule_is_load_bearing():
+    """Meta-check: with the tightening-only endgame forcing disabled
+    (forcing pinned at the f32 floor — the pre-round-4 behavior), the
+    trajectory near the optimum must actually differ; otherwise the
+    property above could not catch a reversion. Uses a tighter-than-
+    floor explicit cg_tol=1e-6 run as the no-endgame PROXY: the
+    schedule clips to [4eps, cg_tol], so epochs where the default run
+    tightened below 3e-4 change their CG solves."""
+    prob = _logistic_prob(384, 64, 3)
+    sm = scso.PHuberSmootherL1L2(1.0)
+    method = scso.ProxGGNSCORE(solver="cg", greedy_alpha=False)
+    aprob = _anchored(prob, method, sm, 1.0)
+    kw = dict(x_tol=1e-14, f_tol=GAP, max_epoch=200, verbose=0,
+              alpha=1.0, stats_every=1)
+    base = scso.iterate(method, aprob, "l1", sm, **kw)
+    # cg_adaptive=True disables the tightening-only endgame
+    # (_forcing_tol: explicit cg_adaptive wins over endgame) — the EW
+    # schedule loosens mid-flight instead
+    s_noend = scso.iterate(
+        scso.ProxGGNSCORE(solver="cg", greedy_alpha=False,
+                          cg_adaptive=True),
+        aprob, "l1", sm, **kw)
+    assert not np.array_equal(np.asarray(base.x), np.asarray(s_noend.x))

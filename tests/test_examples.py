@@ -67,3 +67,9 @@ def test_continuation():
     sol = run("10_continuation")
     assert np.all(np.isfinite(sol.x))
     assert sol.obj[-1] <= sol.obj[0]
+
+
+def test_outofcore_bigrows():
+    sol = run("11_outofcore_bigrows")
+    assert np.all(np.isfinite(sol.x))
+    assert sol.obj[-1] <= sol.obj[0]

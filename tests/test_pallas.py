@@ -836,3 +836,32 @@ class TestSeededFuzzShapes:
                                    rtol=2e-5, atol=acc)
         np.testing.assert_allclose(np.asarray(got_h), want_h,
                                    rtol=2e-5, atol=acc)
+
+
+class TestNarrowNGate:
+    """Round-5 measured negative: at n·itemsize < 1024 the (br,1)
+    w-block's T(8,128) DMA padding rivals the A tile (207 vs the XLA
+    pair's 307 GB/s at 10002432×128 f32) — the kernel must refuse and
+    the jnp fallback must carry the op."""
+
+    def test_gate_boundary(self):
+        # f32: 128 refused, 256 accepted; bf16: 256 refused, 512 ok;
+        # f64: 128 accepted (128·8 = 1024)
+        assert not supports_fused_normal_matvec(1 << 20, 128, 4)
+        assert supports_fused_normal_matvec(1 << 20, 256, 4)
+        assert not supports_fused_normal_matvec(1 << 20, 256, 2)
+        assert supports_fused_normal_matvec(1 << 20, 512, 2)
+        assert supports_fused_normal_matvec(1 << 20, 128, 8)
+
+    def test_narrow_falls_back_correctly(self):
+        from scso_tpu.ops.pallas import counters
+
+        rng = np.random.default_rng(9)
+        A = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)
+        w = jnp.asarray(rng.random(64), jnp.float32)
+        v = jnp.asarray(rng.standard_normal(128), jnp.float32)
+        counters.reset()
+        got = fused_normal_matvec(A, w, v)
+        assert counters.KERNEL_HITS["fused_normal_matvec"] == 0
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(A.T @ (w * (A @ v))), rtol=1e-5)

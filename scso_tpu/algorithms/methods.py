@@ -154,16 +154,20 @@ class ProxGGNSCORE:
     #: correct but strictly slower; leave it off in sweeps.
     cg_lp_tol: float = 0.0
     #: AUTO precision-adaptive CG. None (default) = on in the
-    #: measured-win regime: f32 GLM full-batch unsharded CG solves on a
-    #: TPU backend with A >= 2 GiB and HBM headroom for the bf16 copy —
-    #: `solve` then attaches Problem.A_lp itself and sets cg_lp_tol to
-    #: the CG floor. Measured on v5e (benchmarks/lp_ab.py): 21-23%
-    #: faster at BOTH bench shapes with identical trajectories
-    #: (bulk-phase bf16 curvature never cost an epoch or a CG
-    #: iteration; the tightening-only endgame runs f32 and pins the
-    #: final accuracy). False disables AUTO (manual cg_lp_tol still
-    #: honored); True skips the backend/size gates (testing). Explicit
-    #: cg_lp_tol > 0 always wins over AUTO.
+    #: measured-win regime: f32 (MO)GLM full-batch CG solves on a TPU
+    #: backend with A >= 2 GiB per device (512 MiB for multi-output
+    #: problems) and HBM headroom for the bf16 copy — `solve` then
+    #: attaches Problem.A_lp itself and sets cg_lp_tol to the CG floor.
+    #: Round 5: row-sharded problems qualify (A_lp rides A's row
+    #: sharding; per-device footprint gates) and mglm problems qualify
+    #: on the cached path (bf16 matvec via the XLA pair — the measured
+    #: fastest mglm curvature operator). Measured on v5e
+    #: (benchmarks/lp_ab.py): 21-23% faster at BOTH bench shapes with
+    #: identical trajectories (bulk-phase bf16 curvature never cost an
+    #: epoch or a CG iteration; the tightening-only endgame runs f32
+    #: and pins the final accuracy). False disables AUTO (manual
+    #: cg_lp_tol still honored); True skips the backend/size gates
+    #: (testing). Explicit cg_lp_tol > 0 always wins over AUTO.
     auto_lp: Optional[bool] = None
     #: comm/compute overlap for the sharded CG matvec — see ProxNSCORE
     comm_overlap_chunks: int = 1

@@ -618,7 +618,7 @@ def family_multinomial(big: bool):
                 ok=bool(gap <= GAP * 1.05))
 
 
-def _northstar_rows_run(M, n, big: bool):
+def _northstar_rows_run(M, n):
     """The north star's NAMED row count executed end-to-end (round-4
     verdict Next #1): m = 10,002,432 — ≥ 10⁷ TRUE data rows, rounded up
     to a multiple of the 2048-row fused-kernel tile so the hot matvec
@@ -727,8 +727,11 @@ def _northstar_rows_run(M, n, big: bool):
                 load_gb_s=round(a_gib * 1.074 / max(load_s, 1e-9), 2),
                 rss_after_load_gib=round(rss_load, 2),
                 rss_load_delta_gib=round(rss_load - rss0, 2),
-                ok=bool(gap <= GAP * 1.05 and (M >= 10_000_000 or
-                                               not big)))
+                # the 1e7-row CLAIM is part of ok only at claim scale:
+                # gap-converged small/CI configs (M <= 1e5) stay ok,
+                # anything in between must actually carry >= 1e7 rows
+                ok=bool(gap <= GAP * 1.05 and (M >= 10_000_000
+                                               or M <= 100_000)))
 
 
 
@@ -747,13 +750,13 @@ def family_northstar_rows(big: bool):
     named error field, not a silent cap. CPU/small mode stays
     in-process (tests)."""
     if jax.default_backend() != "tpu":
-        return _northstar_rows_run(4096, 32, big)
+        return _northstar_rows_run(4096, 32)
 
     import subprocess
 
     def one(n):
         code = ("import json, bench; print('NSJSON', json.dumps("
-                f"bench._northstar_rows_run(10_002_432, {n}, True)))")
+                f"bench._northstar_rows_run(10_002_432, {n})))")
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", code], capture_output=True,

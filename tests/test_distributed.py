@@ -12,34 +12,16 @@ result is checked against a single-process solve of the same problem.
 """
 
 import os
-import socket
-import subprocess
-import sys
 
 import numpy as np
 import pytest
 
 import scso_tpu as scso
-from scso_tpu.models import losses, synthetic
+from scso_tpu.models import losses
+
+from _dist_launch import free_port, launch_workers, make_data
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-
-
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        return s.getsockname()[1]
-
-
-def _make_data(workdir):
-    from scso_tpu.parallel import save_problem_data
-
-    A, y, x0, _ = synthetic.make_sparse_logreg_data(
-        64, 16, density=0.3, n_active=4, seed=7, dtype=np.float64,
-        label01=True)
-    save_problem_data(os.path.join(workdir, "data"), A, y)
-    np.save(os.path.join(workdir, "x0.npy"), x0)
-    return A, y, x0
 
 
 def _single_process_solution(A, y, x0):
@@ -63,30 +45,12 @@ def test_two_process_solve_matches_single_process(tmp_path):
     each) row-shard the data across the process boundary and solve; the
     result must match the single-process solve to f64 psum tolerance."""
     workdir = str(tmp_path)
-    A, y, x0 = _make_data(workdir)
-    port = _free_port()
+    A, y, x0 = make_data(workdir)
+    port = free_port()
 
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # workers set their device count themselves
-    worker = os.path.join(_HERE, "_dist_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(port), str(i), workdir],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True, env=env)
-        for i in range(2)
-    ]
-    outs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=420)
-            outs.append(out)
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+    results = launch_workers(workdir, port, ids=(0, 1))
+    for i, (rc, out) in enumerate(results):
+        assert rc == 0, f"worker {i} failed:\n{out}"
         assert f"worker {i}: OK" in out
 
     x_dist = np.load(os.path.join(workdir, "x_dist.npy"))

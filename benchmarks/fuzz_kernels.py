@@ -9,7 +9,11 @@ mismatches beyond f32 accumulation-order noise (glm_prep.b ~5e-6
 relative on unnormalized sums).
 """
 import os
+import sys
+
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# run from anywhere, like the other benchmark scripts
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
